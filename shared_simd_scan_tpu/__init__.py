@@ -1,0 +1,22 @@
+"""shared_simd_scan_tpu — a TPU-native bit-packed columnar scan library.
+
+Brand-new JAX/XLA/Pallas implementation with the capabilities of the C++
+SSE/AVX reference RRr89/Shared_SIMD_Scan (see SURVEY.md): pack integers at
+bit widths 1..31, vectorized decompress, and shared scans evaluating many
+equality predicates in one bandwidth-bound pass, with data-parallel column
+sharding across a TPU mesh.
+"""
+
+from shared_simd_scan_tpu.layout import (  # noqa: F401
+    PackedColumn,
+    DeviceColumn,
+    pack,
+    pack_device,
+    to_device,
+    to_canonical,
+    packed_nbytes,
+    unpack_schedule,
+)
+from shared_simd_scan_tpu import bitvector  # noqa: F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,70 @@
+"""LSB-first match bitvectors (scan outputs).
+
+TPU-native counterpart of the reference's bitvector helpers
+(src/util.cpp:51-58 ``get_bit`` uint8 overload — the correct one; we do not
+replicate the buggy uint32 overload at util.cpp:60-67 — and the POPCNT
+macro, src/util.hpp:17-25).
+
+Contract: bit ``i`` of the match set (value i matched) lives at stream bit
+``i``: stored in little-endian uint32 words, word ``i // 32`` bit ``i % 32``
+== byte ``i // 8`` bit ``i % 8`` — byte-identical to the reference's
+movemask packing order (src/simd_scan.cpp:132,145).  Bits at i >= n are
+always zero (the reference's scalar oracle semantics, simd_scan.cpp:93-97;
+its vectorized kernels write padding garbage instead, which its own tests
+never read).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_bit(bits: jax.Array | np.ndarray, i) -> jax.Array:
+    """Bit i of an LSB-first bitvector stored in uint32 words (bool)."""
+    w = jnp.asarray(bits)
+    assert w.dtype == jnp.uint32
+    return ((w[i // 32] >> (jnp.uint32(i) % 32)) & 1).astype(jnp.bool_)
+
+
+def to_bool(bits: jax.Array, n: int) -> jax.Array:
+    """Expand uint32 bitvector words into a (n,) bool array."""
+    w = jnp.asarray(bits).astype(jnp.uint32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    expanded = ((w[:, None] >> shifts[None, :]) & 1).astype(jnp.bool_)
+    return expanded.reshape(-1)[:n]
+
+
+def from_bool(mask: jax.Array) -> jax.Array:
+    """Pack a (n,) bool array into LSB-first uint32 bitvector words."""
+    m = jnp.asarray(mask).astype(jnp.uint32)
+    n = m.shape[0]
+    pad = (-n) % 32
+    if pad:
+        m = jnp.concatenate([m, jnp.zeros(pad, jnp.uint32)])
+    m = m.reshape(-1, 32)
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    return jnp.sum(m << shifts[None, :], axis=1, dtype=jnp.uint32)
+
+
+def popcount(bits: jax.Array) -> jax.Array:
+    """Total set bits across the bitvector words (int32)."""
+    return jnp.sum(
+        jax.lax.population_count(jnp.asarray(bits).astype(jnp.uint32)).astype(jnp.int32)
+    )
+
+
+def to_bytes(bits: jax.Array, n: int) -> bytes:
+    """Exact ceil(n/8) payload bytes — byte-parity with the reference."""
+    raw = np.asarray(jax.device_get(bits)).astype("<u4").tobytes()
+    return raw[: (n + 7) // 8]
+
+
+def from_bytes(data: bytes, n: int) -> jax.Array:
+    nwords = (n + 31) // 32
+    buf = np.zeros(nwords, dtype="<u4")
+    payload = np.frombuffer(data[: (n + 7) // 8], dtype=np.uint8)
+    buf.view(np.uint8)[: payload.shape[0]] = payload
+    if n % 32:
+        buf[-1] &= np.uint32((1 << (n % 32)) - 1)
+    return jnp.asarray(buf)
