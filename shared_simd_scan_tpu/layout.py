@@ -48,6 +48,9 @@ import numpy as np
 
 # Lane count of the TPU vector unit; the block axis is tiled by this.
 LANES = 128
+# Sublane count: the device block axis (B1) is padded to a multiple of this
+# so Pallas block shapes meet the (8, 128) tiling constraint.
+SUBLANES = 8
 # Values per block. Fixed by the uint32 word size: 32 values * c bits = c words.
 BLOCK_VALUES = 32
 
@@ -81,9 +84,14 @@ def num_blocks(n: int) -> int:
 
 
 def padded_blocks(n: int, lanes: int = LANES) -> int:
-    """Blocks padded up to a multiple of the lane tile."""
+    """Blocks padded up to a multiple of the (sublane, lane) device tile.
+
+    B1 = padded_blocks(n) // LANES is always a multiple of SUBLANES, so any
+    tb in {8, 16, 32, ...} dividing B1 is a legal Pallas block shape.
+    """
     b = max(num_blocks(n), 1)
-    return ((b + lanes - 1) // lanes) * lanes
+    tile = lanes * SUBLANES
+    return ((b + tile - 1) // tile) * tile
 
 
 def bitvector_words(n: int) -> int:

@@ -1,0 +1,195 @@
+"""Pallas TPU fused scan kernels: single-predicate and shared (k-predicate).
+
+TPU-native re-design of the reference's scan family:
+  - ``scan_128`` / ``scan_256`` (src/simd_scan.cpp:102-307): unpack fused
+    with one equality compare, LSB-first match bitvector + hit count.
+  - ``shared_scan_128_standard`` and friends (src/simd_scan_shared.cpp):
+    k predicates evaluated in ONE pass — decompress each block once, then
+    an inner compare loop over the predicate table (the "horizontal" shared
+    scan, simd_scan_shared.cpp:49-86).  The vertical/parallel, sequential,
+    threaded, and unrolled reference variants are all expressions of the
+    same semantics under different CPU resource constraints; on TPU they
+    collapse into this single kernel (SURVEY.md §2.4): values ride the
+    lane axis, the predicate loop is unrolled at trace time (k is a static
+    jit specialization — the analog of the reference's
+    ``shared_scan_128_linear_static<NUM>`` template, simd_scan.hpp:122-236).
+
+Key layout win: one 32-value block contributes exactly one uint32 word of
+the match bitvector, so the kernel emits ``bits[k, B1, 128]`` with NO
+cross-lane traffic — the movemask packing (simd_scan.cpp:132,145) becomes
+``acc |= (v_r == key) << r`` per unrolled r.  Canonical LSB-first order is a
+reshape, byte-identical to the reference.
+
+Hit counts are accumulated in-kernel (per-lane partials, reduced at the
+end) so the bitvector is never re-read from HBM — the count is free,
+matching the reference's in-loop POPCNT accumulation (simd_scan.cpp:153).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shared_simd_scan_tpu import bitvector as bv
+from shared_simd_scan_tpu.layout import (
+    BLOCK_VALUES,
+    LANES,
+    DeviceColumn,
+    bitvector_words,
+)
+from shared_simd_scan_tpu.ops.unpack import DEFAULT_TB, _pick_tb, _unpack_block_values
+
+
+def _shared_scan_kernel(off_ref, keys_ref, in_ref, bits_ref, cnt_ref, *, width, k, tb, n):
+    """One grid step: blocks tile (width, TB, 128) -> bits (k, TB, 128)."""
+    i = pl.program_id(0)
+
+    # Validity mask per block word: zero bits at value index >= n
+    # (reference scalar-oracle semantics, simd_scan.cpp:93-97; its SIMD
+    # kernels write garbage into padding instead — not replicated).
+    # off_ref holds this shard's global block offset (0 when unsharded) so
+    # the same kernel serves the shard_map'd data-parallel path (dist.py).
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    g = off_ref[0, 0] + (i * tb + row) * LANES + lane  # global block id
+    valid = jnp.where(
+        g < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
+    )
+
+    accs = [jnp.zeros((tb, LANES), jnp.uint32) for _ in range(k)]
+    for r, v in _unpack_block_values(in_ref, width):
+        bit = jnp.uint32(1 << r)
+        for j in range(k):
+            key = keys_ref[j, 0]
+            accs[j] = accs[j] | jnp.where(v == key, bit, jnp.uint32(0))
+
+    @pl.when(i == 0)
+    def _():
+        cnt_ref[...] = jnp.zeros_like(cnt_ref)
+
+    for j in range(k):
+        word = accs[j] & valid
+        bits_ref[j] = word
+        cnt_ref[j] = cnt_ref[j] + jnp.sum(
+            jax.lax.population_count(word).astype(jnp.int32), axis=0
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
+def shared_scan_tiles(
+    tiles: jax.Array,
+    keys: jax.Array,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """tiles uint32[width, B1, 128], keys uint32[k] ->
+    (bits uint32[k, B1, 128], counts int32[k]).
+
+    ``bits[j].reshape(-1)[:bitvector_words(n)]`` is the canonical LSB-first
+    bitvector for predicate j (byte-parity with the reference).
+
+    ``block_offset`` is the global index of this tile array's first block —
+    nonzero only on the shard_map'd path (dist.py), where ``n`` is the
+    GLOBAL value count and each shard masks its own tail region.
+    """
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = int(keys.shape[0])
+    tb = _pick_tb(b1, tb)
+    grid = (b1 // tb,)
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(_shared_scan_kernel, width=width, k=k, tb=tb, n=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((k, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (k, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((k, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(off, keys2, tiles)
+    return bits, jnp.sum(cnt, axis=1)
+
+
+def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:
+    """Device bits layout [..., B1, 128] -> canonical uint32 words [..., W]."""
+    lead = bits.shape[:-2]
+    return bits.reshape(*lead, -1)[..., : bitvector_words(n)]
+
+
+def shared_scan_device(
+    dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Shared scan on a DeviceColumn -> ((k, W) canonical bitvectors, (k,) counts)."""
+    keys = jnp.asarray(keys, jnp.uint32)
+    bits, counts = shared_scan_tiles(
+        dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+    )
+    return bits_to_canonical(bits, dev.n), counts
+
+
+def scan_device(
+    dev: DeviceColumn, predicate_key, tb: int | None = None, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Single-predicate scan (counterpart of scan_128, simd_scan.cpp:103-158):
+    -> ((W,) canonical bitvector words, scalar hit count)."""
+    keys = jnp.asarray(predicate_key, jnp.uint32).reshape(1)
+    bits, counts = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
+    return bits[0], counts[0]
+
+
+def shared_scan_linear_device(
+    dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
+) -> jax.Array:
+    """Linear (interleaved) shared scan -> uint8[ceil(n/8) * k].
+
+    Byte layout ``out[group*k + key_id]`` for 8-value groups — parity with
+    shared_scan_128_linear_standard (simd_scan_shared_linear.cpp:57).  On
+    TPU the (k, W) layout is the native efficient one; the interleave is a
+    single XLA relayout of the kernel output (the reference needed a
+    separate kernel only because its outputs stream straight to DRAM).
+    """
+    keys = jnp.asarray(keys, jnp.uint32)
+    bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)  # (k, W)
+    k = bits.shape[0]
+    nbytes = (dev.n + 7) // 8
+    shifts = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)
+    b = ((bits[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
+    return b.reshape(k, -1)[:, :nbytes].T.reshape(-1)
+
+
+def popcount_bits(bits: jax.Array) -> jax.Array:
+    """Hit counts from canonical bitvector words (axis -1)."""
+    return jnp.sum(jax.lax.population_count(bits).astype(jnp.int32), axis=-1)
+
+
+__all__ = [
+    "shared_scan_tiles",
+    "shared_scan_device",
+    "scan_device",
+    "shared_scan_linear_device",
+    "bits_to_canonical",
+    "popcount_bits",
+]

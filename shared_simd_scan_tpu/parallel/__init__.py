@@ -1,0 +1,9 @@
+"""Multi-chip / multi-host parallelism: mesh setup and sharded scans."""
+
+from shared_simd_scan_tpu.parallel.dist import (  # noqa: F401
+    make_mesh,
+    shard_column,
+    sharded_shared_scan,
+    sharded_scan,
+    sharded_unpack,
+)

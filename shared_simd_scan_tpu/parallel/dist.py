@@ -1,0 +1,149 @@
+"""Data-parallel column sharding across a TPU device mesh.
+
+The reference tops out at OpenMP threads over the *predicate* axis on one
+CPU (src/simd_scan_shared.cpp:27-32; SURVEY.md §2.4 "Distributed (absent)").
+The TPU rebuild makes multi-chip/multi-host scale a first-class component
+(BASELINE.md north star): the packed column is sharded **along the block
+axis** over a 1-D ``('data',)`` mesh, the predicate table is replicated,
+every chip runs the same Pallas shared-scan kernel on its local shard, and
+per-shard hit counts are reduced with ``jax.lax.psum`` over ICI.  Bitvector
+outputs stay sharded (gather only on demand).
+
+Sharding safety: the reference's packed stream cannot be cut at arbitrary
+points because values straddle word boundaries
+(simd_scan_compression.cpp:82-99 — SURVEY.md §7 "sharding the packed
+stream").  Our device layout dissolves the problem: one block = 32 values =
+``width`` whole uint32 words, so ANY block-aligned cut is self-contained.
+We shard at (sublane-tile × lane)-aligned block boundaries, padding with
+zero blocks that the kernel's validity mask ignores.
+
+Multi-host: under ``jax.distributed.initialize`` the same code runs
+unchanged — ``jax.make_mesh`` spans all processes' devices, XLA routes the
+``psum`` over ICI within a slice and DCN across slices.  Tested on a forced
+multi-device CPU platform (tests/conftest.py), the standard JAX substitute
+for a real pod slice.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from shared_simd_scan_tpu.layout import (
+    BLOCK_VALUES,
+    LANES,
+    SUBLANES,
+    DeviceColumn,
+)
+from shared_simd_scan_tpu.ops import scan as scan_ops
+from shared_simd_scan_tpu.ops import unpack as unpack_ops
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def _pad_b1(tiles: jax.Array, multiple: int) -> jax.Array:
+    b1 = tiles.shape[1]
+    target = ((b1 + multiple - 1) // multiple) * multiple
+    if target == b1:
+        return tiles
+    pad = [(0, 0), (0, target - b1), (0, 0)]
+    return jnp.pad(tiles, pad)
+
+
+def shard_column(dev: DeviceColumn, mesh: Mesh) -> DeviceColumn:
+    """Place a DeviceColumn's tiles data-parallel along the block axis.
+
+    Pads B1 to a multiple of (mesh size × SUBLANES) so every shard is a
+    legal kernel operand, then applies NamedSharding (None, 'data', None).
+    """
+    nd = mesh.devices.size
+    tiles = _pad_b1(dev.tiles, nd * SUBLANES)
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
+    tiles = jax.device_put(tiles, sharding)
+    return DeviceColumn(width=dev.width, n=dev.n, tiles=tiles)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "width", "n", "tb", "interpret")
+)
+def _sharded_shared_scan_tiles(
+    tiles, keys, *, mesh, width, n, tb, interpret
+) -> tuple[jax.Array, jax.Array]:
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, keys_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = scan_ops.shared_scan_tiles(
+            tiles_l, keys_l, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=(P(None, DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, keys)
+
+
+def sharded_shared_scan(
+    dev: DeviceColumn, keys, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """k-predicate shared scan over a sharded column.
+
+    Returns (bits uint32[k, B1, 128] sharded along B1, counts int32[k]
+    replicated via psum).  Use :func:`scan_ops.bits_to_canonical` to gather
+    a canonical bitvector when needed.
+    """
+    keys = jnp.asarray(keys, jnp.uint32)
+    return _sharded_shared_scan_tiles(
+        dev.tiles, keys, mesh=mesh, width=dev.width, n=dev.n, tb=tb,
+        interpret=interpret,
+    )
+
+
+def sharded_scan(
+    dev: DeviceColumn, predicate_key, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Single-predicate sharded scan -> (bits[1, B1, 128] sharded, count)."""
+    keys = jnp.asarray(predicate_key, jnp.uint32).reshape(1)
+    bits, counts = sharded_shared_scan(dev, keys, mesh, tb=tb, interpret=interpret)
+    return bits[0], counts[0]
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "width", "tb", "interpret"))
+def _sharded_unpack_tiles(tiles, *, mesh, width, tb, interpret):
+    def local(tiles_l):
+        return unpack_ops.unpack_tiles(tiles_l, width, tb=tb, interpret=interpret)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, DATA_AXIS, None),
+        out_specs=P(None, DATA_AXIS, None),
+        check_vma=False,
+    )(tiles)
+
+
+def sharded_unpack(
+    dev: DeviceColumn, mesh: Mesh, tb: int | None = None, interpret: bool = False
+) -> jax.Array:
+    """Decompress a sharded column -> values uint32[32, B1, 128], sharded
+    along the block axis (no collective needed — embarrassingly parallel)."""
+    return _sharded_unpack_tiles(
+        dev.tiles, mesh=mesh, width=dev.width, tb=tb, interpret=interpret
+    )

@@ -8,8 +8,11 @@ def test_get_bit_matches_reference_case():
     # reference: vec{5,5} as bytes -> bits (test/util_tests.cpp:17-35)
     bits = bitvector.from_bytes(bytes([5, 5]), 16)
     expect = [True, False, True] + [False] * 5 + [True, False, True] + [False] * 5
-    got = [bool(bitvector.get_bit(bits, i)) for i in range(16)]
+    got = list(np.asarray(bitvector.to_bool(bits, 16)))
     assert got == expect
+    # spot-check the scalar accessor itself
+    assert bool(bitvector.get_bit(bits, 0)) is True
+    assert bool(bitvector.get_bit(bits, 1)) is False
 
 
 def test_roundtrip_bool():

@@ -1,0 +1,71 @@
+"""Sharded (multi-chip) scan tests on the virtual 8-device CPU mesh.
+
+The reference has no distributed layer (SURVEY.md §2.4); this validates the
+new data-parallel component: block-axis sharding, replicated predicates,
+psum'd counts — the standard substitute for a real pod slice (§4).
+"""
+import jax
+import numpy as np
+import pytest
+
+from shared_simd_scan_tpu import layout
+from shared_simd_scan_tpu.ops import oracle
+from shared_simd_scan_tpu.ops.scan import bits_to_canonical
+from shared_simd_scan_tpu.ops.unpack import values_to_flat
+from shared_simd_scan_tpu.parallel import dist
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return dist.make_mesh()
+
+
+def _col(width, n, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    return vals, layout.pack(vals, width)
+
+
+def test_mesh_spans_all_devices(mesh):
+    assert mesh.devices.size == len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n", [70_000, 8 * 8 * 128 * 32])
+def test_sharded_shared_scan_parity(mesh, n):
+    width, k = 9, 4
+    vals, col = _col(width, n)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    keys = np.arange(k, dtype=np.uint32)
+    bits, counts = dist.sharded_shared_scan(sdev, keys, mesh, interpret=True)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_sharded_scan_single_predicate(mesh):
+    width, n = 9, 50_000
+    vals, col = _col(width, n, seed=3)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    key = int(vals[11])
+    bits, count = dist.sharded_scan(sdev, key, mesh, interpret=True)
+    assert int(count) == int(np.sum(vals == key))
+
+
+def test_sharded_unpack_parity(mesh):
+    width, n = 17, 40_000
+    vals, col = _col(width, n, seed=7)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    out = dist.sharded_unpack(sdev, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(values_to_flat(out, n)), vals)
+
+
+def test_shard_column_sharding_layout(mesh):
+    width, n = 9, 100_000
+    _, col = _col(width, n, seed=1)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    # block axis divisible by mesh * sublanes; sharding spec as designed
+    assert sdev.tiles.shape[1] % (8 * layout.SUBLANES) == 0
+    spec = sdev.tiles.sharding.spec
+    assert spec == jax.sharding.PartitionSpec(None, dist.DATA_AXIS, None)

@@ -1,0 +1,120 @@
+"""Pallas kernel parity tests vs the jnp oracle (interpret mode on CPU).
+
+Mirrors the reference's oracle test pattern (test/simd_scan_tests.cpp):
+vectorized kernels checked against scalar-semantics oracles on the Catch2
+corpora plus randomized widths — but covering EVERY kernel, closing the
+reference's coverage gap (SURVEY.md §4).
+"""
+import json
+import pathlib
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shared_simd_scan_tpu import bitvector, layout
+from shared_simd_scan_tpu.ops import oracle, scan as scan_ops, unpack as unpack_ops
+
+GOLDEN = json.loads(
+    (pathlib.Path(__file__).parent / "golden" / "reference_golden_9bit.json").read_text()
+)
+RAMP509 = np.arange(509, dtype=np.uint32)
+TINY12 = np.array([1, 2, 3, 3, 2, 1, 1, 2, 3, 1, 2, 3], dtype=np.uint32)
+
+WIDTHS = [1, 2, 3, 5, 7, 8, 9, 11, 16, 17, 24, 25, 31]
+
+
+def _rand_column(width, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+
+
+@pytest.mark.parametrize("width", WIDTHS)
+def test_unpack_kernel_parity(width):
+    n = 10_000
+    vals = _rand_column(width, n, seed=width)
+    dev = layout.pack_device(vals, width)
+    out = unpack_ops.unpack_device(dev, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), vals)
+
+
+def test_unpack_kernel_ramp509_golden():
+    dev = layout.pack_device(jnp.asarray(RAMP509), 9)
+    out = unpack_ops.unpack_device(dev, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), RAMP509)
+    np.testing.assert_array_equal(
+        np.asarray(out[:16]), np.array(GOLDEN["ramp509_decompressed_first16"])
+    )
+
+
+@pytest.mark.parametrize("width", [1, 9, 16, 31])
+def test_pack_kernel_roundtrip(width):
+    n = 33 * 128 + 17  # exercise partial block + partial lane tile
+    vals = _rand_column(width, n, seed=100 + width)
+    dev = layout.pack_device(vals, width)
+    unpacked_dev_layout = unpack_ops.unpack_tiles(dev.tiles, width, interpret=True)
+    repacked = unpack_ops.pack_tiles(unpacked_dev_layout, width, interpret=True)
+    np.testing.assert_array_equal(np.asarray(repacked), np.asarray(dev.tiles))
+
+
+@pytest.mark.parametrize("width", [3, 9, 17])
+def test_scan_kernel_parity(width):
+    n = 12_345
+    vals = _rand_column(width, n, seed=width)
+    key = int(vals[7])
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    bits, hits = scan_ops.scan_device(dev, key, interpret=True)
+    obits, ohits = oracle.scan(col, key)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+    assert int(hits) == int(ohits) == int(np.sum(vals == key))
+
+
+def test_scan_kernel_golden_tiny12():
+    dev = layout.pack_device(jnp.asarray(TINY12), 9)
+    bits, hits = scan_ops.scan_device(dev, 3, interpret=True)
+    assert int(hits) == GOLDEN["tiny12_scan3_hits"] == 4
+    assert bitvector.to_bytes(bits, 12) == bytes(GOLDEN["tiny12_scan3_bits"])
+
+
+def test_scan_kernel_golden_ramp509():
+    dev = layout.pack_device(jnp.asarray(RAMP509), 9)
+    bits, hits = scan_ops.scan_device(dev, 3, interpret=True)
+    assert int(hits) == GOLDEN["ramp509_scan3_hits"]
+    assert bitvector.to_bytes(bits, 509) == bytes(GOLDEN["ramp509_scan3_bits"])
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 8])
+def test_shared_scan_kernel_parity(k):
+    width, n = 9, 20_000
+    vals = _rand_column(width, n, seed=k)
+    keys = np.arange(k, dtype=np.uint32)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    bits, counts = scan_ops.shared_scan_device(dev, keys, interpret=True)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    for j in range(k):
+        assert int(counts[j]) == int(np.sum(vals == keys[j]))
+
+
+def test_shared_scan_padding_bits_zero():
+    # padded blocks are zero-valued; predicate 0 must NOT match padding
+    width, n = 9, 100  # far below one lane tile (128 blocks)
+    vals = _rand_column(width, n, seed=5)
+    dev = layout.pack_device(vals, width)
+    bits, counts = scan_ops.shared_scan_device(dev, np.array([0], np.uint32), interpret=True)
+    assert int(counts[0]) == int(np.sum(vals == 0))
+    assert np.asarray(bitvector.to_bool(bits[0], n)).sum() == int(counts[0])
+
+
+def test_shared_scan_linear_kernel_parity():
+    width, n, k = 9, 4_096, 4
+    vals = _rand_column(width, n, seed=9)
+    keys = np.arange(k, dtype=np.uint32)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    lin = scan_ops.shared_scan_linear_device(dev, keys, interpret=True)
+    olin = oracle.shared_scan_linear(col, keys)
+    np.testing.assert_array_equal(np.asarray(lin), np.asarray(olin))
