@@ -1,0 +1,64 @@
+"""Headline benchmark: 9-bit column, 8-predicate shared scan, 1 chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value     = total HBM traffic (packed column read + k bitvectors written)
+            per second on one chip for the fused Pallas shared-scan kernel.
+vs_baseline = value / (0.90 * nominal HBM peak), i.e. 1.0 == the
+            BASELINE.md target ">=90% of HBM-bandwidth roofline".
+"""
+import functools
+import json
+import sys
+
+import jax
+import jax.numpy as jnp
+
+from shared_simd_scan_tpu import layout
+from shared_simd_scan_tpu.bench import harness
+from shared_simd_scan_tpu.bench.timing import measure_loop
+from shared_simd_scan_tpu.ops import unpack as unpack_ops
+
+WIDTH = 9
+K = 8
+DATA_SIZE = 512 * 1024 * 1024  # packed payload bytes
+
+
+def main() -> int:
+    n = harness.values_for(DATA_SIZE, WIDTH)
+    vals = harness.synth_modk(n, K, WIDTH)
+    dev = unpack_ops.pack_device_kernel(vals, WIDTH)
+    keys = jnp.arange(K, dtype=jnp.uint32)
+
+    # correctness gate before timing
+    if not harness.check_shared_scan(dev, keys, vals):
+        print(json.dumps({"metric": "shared_scan_9bit_k8_hbm_bytes_per_s",
+                          "value": 0, "unit": "bytes/s/chip",
+                          "vs_baseline": 0.0, "error": "verification failed"}))
+        return 1
+
+    traffic = layout.packed_nbytes(WIDTH, n) + K * layout.bitvector_words(n) * 4
+    best = None
+    for tb in (32, 64, 128):
+        m = measure_loop(
+            functools.partial(harness.chain_shared_scan, width=WIDTH, n=n, tb=tb),
+            (dev.tiles, keys),
+            trials=3,
+        )
+        bps = traffic / m.seconds
+        if best is None or bps > best:
+            best = bps
+
+    roof = harness.hbm_peak_bytes_per_s() or 819e9
+    print(json.dumps({
+        "metric": "shared_scan_9bit_k8_hbm_bytes_per_s",
+        "value": round(best),
+        "unit": "bytes/s/chip",
+        "vs_baseline": round(best / (0.9 * roof), 4),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

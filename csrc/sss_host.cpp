@@ -1,0 +1,183 @@
+// Host-side native runtime: bit-packed column codec + scans.
+//
+// TPU-native framework counterpart of the reference's C++ kernel library
+// (reference: src/simd_scan_compression.cpp:53-104 compress_9bit_input,
+// src/simd_scan_decompression.cpp:6-55 decompress_unvectorized,
+// src/simd_scan.cpp:20-100 scan_unvectorized,
+// src/simd_scan_shared.cpp:9-23 shared_scan_128_sequential) — redesigned,
+// not translated: the TPU chips run the Pallas kernels; this library is the
+// host runtime used for fast data ingest (packing columns at memory speed
+// before device upload), host-side verification independent of JAX, and
+// out-of-band tooling.  Generalized to widths 1..31 with explicit shift
+// handling (no shift-count UB — SURVEY.md §5 "do not replicate").
+//
+// Layout contract (must stay byte-identical to shared_simd_scan_tpu.layout):
+// value i occupies stream bits [i*width, (i+1)*width), LSB-first, stored
+// little-endian.  Match bitvectors: bit i at stream bit i, LSB-first.
+//
+// Parallelized with OpenMP over 64-value-aligned chunks (every 64 values
+// start and end on whole bytes only when width*64 % 8 == 0 — always true).
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// pack: values[n] -> out bitstream (caller allocates >= (n*width+7)/8 + 8 B)
+// ---------------------------------------------------------------------------
+void sss_pack(const uint32_t* values, uint64_t n, int width, uint8_t* out) {
+  const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  const uint64_t nbytes = (n * (uint64_t)width + 7) / 8;
+  std::memset(out, 0, nbytes);
+  // chunk = 64 values: 64*width bits is a whole number of bytes (8*width).
+  const uint64_t chunk = 64;
+  const int64_t nchunks = (int64_t)((n + chunk - 1) / chunk);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const uint64_t lo = (uint64_t)c * chunk;
+    const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
+    uint64_t acc = 0;
+    int acc_bits = 0;
+    uint8_t* p = out + lo * width / 8;  // whole-byte boundary per chunk
+    for (uint64_t i = lo; i < hi; ++i) {
+      acc |= (uint64_t)(values[i] & mask) << acc_bits;
+      acc_bits += width;
+      while (acc_bits >= 8) {
+        *p++ = (uint8_t)acc;
+        acc >>= 8;
+        acc_bits -= 8;
+      }
+    }
+    if (acc_bits > 0) *p = (uint8_t)acc;  // tail bits of the final chunk
+  }
+}
+
+// ---------------------------------------------------------------------------
+// unpack: bitstream -> values[n]
+// ---------------------------------------------------------------------------
+void sss_unpack(const uint8_t* packed, uint64_t n, int width, uint32_t* out) {
+  const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  const uint64_t chunk = 64;
+  const int64_t nchunks = (int64_t)((n + chunk - 1) / chunk);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const uint64_t lo = (uint64_t)c * chunk;
+    const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
+    const uint8_t* p = packed + lo * width / 8;
+    uint64_t acc = 0;
+    int acc_bits = 0;
+    for (uint64_t i = lo; i < hi; ++i) {
+      while (acc_bits < width) {
+        acc |= (uint64_t)(*p++) << acc_bits;
+        acc_bits += 8;
+      }
+      out[i] = (uint32_t)acc & mask;
+      acc >>= width;
+      acc_bits -= width;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// scan: one predicate -> LSB-first bitvector + hit count
+// bits_out: caller allocates >= (n+7)/8 bytes, zeroed here.
+// ---------------------------------------------------------------------------
+uint64_t sss_scan(const uint8_t* packed, uint64_t n, int width, uint32_t key,
+                  uint8_t* bits_out) {
+  const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  const uint64_t nbytes = (n + 7) / 8;
+  std::memset(bits_out, 0, nbytes);
+  uint64_t hits = 0;
+  const uint64_t chunk = 64;
+  const int64_t nchunks = (int64_t)((n + chunk - 1) / chunk);
+#pragma omp parallel for schedule(static) reduction(+ : hits)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const uint64_t lo = (uint64_t)c * chunk;
+    const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
+    const uint8_t* p = packed + lo * width / 8;
+    uint64_t acc = 0;
+    int acc_bits = 0;
+    uint64_t word = 0;  // chunk = 64 match bits
+    for (uint64_t i = lo; i < hi; ++i) {
+      while (acc_bits < width) {
+        acc |= (uint64_t)(*p++) << acc_bits;
+        acc_bits += 8;
+      }
+      const uint32_t v = (uint32_t)acc & mask;
+      acc >>= width;
+      acc_bits -= width;
+      if (v == key) {
+        word |= 1ull << (i - lo);
+        ++hits;
+      }
+    }
+    std::memcpy(bits_out + lo / 8, &word,
+                (hi - lo + 7) / 8);  // little-endian: LSB-first stream order
+  }
+  return hits;
+}
+
+// ---------------------------------------------------------------------------
+// shared scan: k predicates, one pass -> k bitvectors (stride (n+7)/8) and
+// per-predicate hit counts.
+// ---------------------------------------------------------------------------
+void sss_shared_scan(const uint8_t* packed, uint64_t n, int width,
+                     const uint32_t* keys, int k, uint8_t* bits_out,
+                     uint64_t* counts_out) {
+  const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  const uint64_t stride = (n + 7) / 8;
+  std::memset(bits_out, 0, stride * (uint64_t)k);
+  for (int j = 0; j < k; ++j) counts_out[j] = 0;
+  const uint64_t chunk = 64;
+  const int64_t nchunks = (int64_t)((n + chunk - 1) / chunk);
+#pragma omp parallel
+  {
+#ifdef _OPENMP
+    const int tid = omp_get_thread_num();
+    const int nth = omp_get_num_threads();
+#else
+    const int tid = 0, nth = 1;
+#endif
+    for (int64_t c = tid; c < nchunks; c += nth) {
+      const uint64_t lo = (uint64_t)c * chunk;
+      const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
+      const uint8_t* p = packed + lo * width / 8;
+      uint64_t acc = 0;
+      int acc_bits = 0;
+      uint64_t words[64];  // k <= 64 supported in one pass per chunk
+      const int kk = k < 64 ? k : 64;
+      for (int j = 0; j < kk; ++j) words[j] = 0;
+      for (uint64_t i = lo; i < hi; ++i) {
+        while (acc_bits < width) {
+          acc |= (uint64_t)(*p++) << acc_bits;
+          acc_bits += 8;
+        }
+        const uint32_t v = (uint32_t)acc & mask;
+        acc >>= width;
+        acc_bits -= width;
+        for (int j = 0; j < kk; ++j)
+          if (v == keys[j]) words[j] |= 1ull << (i - lo);
+      }
+      const uint64_t tail = (hi - lo + 7) / 8;
+      for (int j = 0; j < kk; ++j) {
+        std::memcpy(bits_out + (uint64_t)j * stride + lo / 8, &words[j], tail);
+#pragma omp atomic
+        counts_out[j] += (uint64_t)__builtin_popcountll(words[j]);
+      }
+    }
+  }
+  // k > 64: additional passes
+  if (k > 64)
+    sss_shared_scan(packed, n, width, keys + 64, k - 64, bits_out + 64 * stride,
+                    counts_out + 64);
+}
+
+int sss_version(void) { return 1; }
+
+}  // extern "C"

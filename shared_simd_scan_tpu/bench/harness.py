@@ -1,0 +1,413 @@
+"""Benchmark drivers: data synthesis, chained timing kernels, verification.
+
+TPU-native counterpart of the reference benchmark harness:
+  - result printer ``* name: avg ms; [..] ms``  (src/benchmark.cpp:14-36)
+  - verifiers run after timing                   (src/benchmark.cpp:38-140)
+  - decompression / scan / shared-scan drivers   (src/benchmark.cpp:51-306)
+  - raw memory-bandwidth comparator              (src/benchmark_misc.cpp:9-52)
+
+plus what the reference lacks: bytes/s and %-of-HBM-roofline columns
+(SURVEY.md §5.5).  All timing uses the chained-loop methodology in
+``bench.timing`` (host stopwatches are meaningless on this hardware path).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shared_simd_scan_tpu import layout
+from shared_simd_scan_tpu.bench.timing import Measurement, measure_loop
+from shared_simd_scan_tpu.layout import packed_nbytes
+from shared_simd_scan_tpu.ops import oracle
+from shared_simd_scan_tpu.ops import scan as scan_ops
+from shared_simd_scan_tpu.ops import unpack as unpack_ops
+
+# Default workload: 500 MiB packed payload, shared scan at 1/8 of that —
+# mirrors the reference defaults (src/benchmark.hpp:4-5, src/main.cpp:98).
+DEFAULT_DATA_SIZE = 500 * 1024 * 1024
+DEFAULT_REPETITIONS = 5
+DEFAULT_WIDTH = 9
+
+# Nominal peak HBM bandwidth per chip by device kind (bytes/s).
+_HBM_PEAK = (
+    ("v5 lite", 819e9),   # v5e
+    ("v5e", 819e9),
+    ("v6 lite", 1640e9),  # v6e / Trillium
+    ("v6e", 1640e9),
+    ("v5p", 2765e9),
+    ("v4", 1228e9),
+    ("v3", 900e9),
+)
+
+
+def hbm_peak_bytes_per_s() -> float | None:
+    kind = jax.devices()[0].device_kind.lower()
+    for sub, bw in _HBM_PEAK:
+        if sub in kind:
+            return bw
+    return None
+
+
+# ---------------------------------------------------------------------------
+# Result printer (B1)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class BenchResult:
+    name: str
+    meas: Measurement
+    bytes_moved: int  # total HBM traffic per iteration (read + write)
+
+    @property
+    def bytes_per_s(self) -> float:
+        return self.bytes_moved / self.meas.seconds
+
+
+def print_result(res: BenchResult, roofline: float | None = None) -> None:
+    """Stable machine-parsable line format, identical shape to the
+    reference's (src/benchmark.cpp:14-36) so the sweep scripts parse both."""
+    reps = ", ".join(f"{t * 1e3:.6f}" for t in res.meas.per_trial)
+    print(f"* {res.name}: {res.meas.millis:.6f} ms; [{reps}] ms")
+    gbs = res.bytes_per_s / 1e9
+    if roofline:
+        pct = 100.0 * res.bytes_per_s / roofline
+        print(f"    {gbs:.1f} GB/s ({pct:.1f}% of {roofline / 1e9:.0f} GB/s HBM roofline)")
+    else:
+        print(f"    {gbs:.1f} GB/s")
+
+
+# ---------------------------------------------------------------------------
+# Data synthesis (reference corpora, src/benchmark.cpp:79-82, 170-174, 274-278)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n", "width"))
+def synth_ramp(n: int, width: int) -> jax.Array:
+    """Decompression corpus: ``i & ((1<<width)-1)`` (benchmark.cpp:79-82)."""
+    return jnp.arange(n, dtype=jnp.uint32) & jnp.uint32((1 << width) - 1)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def synth_mod5(n: int) -> jax.Array:
+    """Scan corpus: ``i % 5``, predicate key 3 (benchmark.cpp:150, 174)."""
+    return jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(5)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "k", "width"))
+def synth_modk(n: int, k: int, width: int) -> jax.Array:
+    """Shared-scan corpus: ``i % k % (1<<width adjusted)``
+    (benchmark.cpp:277 uses ``i % k % 512``)."""
+    m = min(512, 1 << width)
+    return jnp.arange(n, dtype=jnp.uint32) % jnp.uint32(k) % jnp.uint32(m)
+
+
+def values_for(data_size: int, width: int) -> int:
+    """Value count whose packed payload is ~data_size bytes."""
+    return max((data_size * 8) // width, layout.BLOCK_VALUES)
+
+
+# ---------------------------------------------------------------------------
+# Chained timing kernels (see bench.timing for why)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chain_copy(x, salt, k):
+    """Raw bandwidth comparator: k data-dependent full-buffer copies."""
+    x = x.at[0].set(salt.astype(x.dtype))  # consume salt: distinct submission
+    one = jnp.ones((), x.dtype)
+    y = jax.lax.fori_loop(0, k, lambda i, a: a + one, x)
+    return (y[0] + y[-1]).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "tb"))
+def chain_unpack(tiles, salt, k, *, width, tb):
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        vals = unpack_ops.unpack_tiles(t, width, tb=tb)
+        return t, acc + vals[0, 0, 0]
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "tb"))
+def chain_pack(vals, salt, k, *, width, tb):
+    def body(i, carry):
+        v, acc = carry
+        v = v.at[0, 0, 0].set((salt + jnp.uint32(i)) & jnp.uint32((1 << width) - 1))
+        tiles = unpack_ops.pack_tiles(v, width, tb=tb)
+        return v, acc + tiles[0, 0, 0]
+
+    _, acc = jax.lax.fori_loop(0, k, body, (vals, jnp.uint32(0)))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
+def chain_shared_scan(tiles, keys, salt, k, *, width, n, tb):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)  # vary keys, same workload
+        _, cnt = scan_ops.shared_scan_tiles(tiles, kv, width, n, tb=tb)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n"))
+def chain_oracle_shared_scan(words, keys, salt, k, *, width, n):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = oracle.shared_scan_words(words, kv, width, n)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n"))
+def chain_oracle_unpack(words, salt, k, *, width, n):
+    def body(i, carry):
+        w, acc = carry
+        w = w.at[0].set(salt + jnp.uint32(i))
+        vals = oracle.unpack_words(w, width, n)
+        return w, acc + vals[0]
+
+    _, acc = jax.lax.fori_loop(0, k, body, (words, jnp.uint32(0)))
+    return acc
+
+
+# ---------------------------------------------------------------------------
+# Verifiers (B2: src/benchmark.cpp:38-140) — run after timing
+# ---------------------------------------------------------------------------
+
+
+def check_decompression(dev: layout.DeviceColumn, expect: jax.Array) -> bool:
+    got = unpack_ops.unpack_device(dev)
+    ok = bool(jnp.all(got == expect))
+    if not ok:
+        idx = int(jnp.argmax(got != expect))
+        print(f"    VERIFY FAILED: first mismatch at index {idx}")
+    return ok
+
+
+def check_shared_scan(
+    dev: layout.DeviceColumn, keys: jax.Array, vals: jax.Array
+) -> bool:
+    """Counts verified exactly over the full column; bitvector bytes
+    verified against the (slow, gather-based) oracle on a 2M-value prefix."""
+    bits, counts = scan_ops.shared_scan_device(dev, keys)
+    match = vals[None, :] == keys[:, None].astype(jnp.uint32)
+    expect_counts = jnp.sum(match, axis=1, dtype=jnp.int32)
+    ok = bool(jnp.all(counts == expect_counts))
+    if ok:
+        n_chk = min(dev.n, 2_000_000)
+        w_chk = layout.bitvector_words(n_chk)
+        col_chk = layout.pack(vals[:n_chk], dev.width)
+        obits, _ = oracle.shared_scan_words(col_chk.words, keys, dev.width, n_chk)
+        gbits = bits[:, : w_chk]
+        if n_chk % 32:
+            tail = jnp.uint32((1 << (n_chk % 32)) - 1)
+            gbits = gbits.at[:, -1].multiply(0).at[:, -1].add(bits[:, w_chk - 1] & tail)
+        ok = bool(jnp.all(gbits == obits))
+    if not ok:
+        print("    VERIFY FAILED: shared scan mismatch vs oracle")
+    return ok
+
+
+# ---------------------------------------------------------------------------
+# Benchmark drivers (B3-B6)
+# ---------------------------------------------------------------------------
+
+
+def bench_memory(data_size: int = DEFAULT_DATA_SIZE, reps: int = DEFAULT_REPETITIONS):
+    """Raw copy bandwidth at 1/2/4-byte granularity (benchmark_misc.cpp:9-52).
+
+    On TPU every granularity is the same HBM stream; the uint32 row is the
+    roofline comparator used by the scan benches.
+    """
+    roof = hbm_peak_bytes_per_s()
+    results = []
+    for dtype, label in ((jnp.uint8, "1 byte"), (jnp.uint16, "2 bytes"), (jnp.uint32, "4 bytes")):
+        nelem = data_size // jnp.dtype(dtype).itemsize
+        x = jnp.zeros(nelem, dtype)
+        meas = measure_loop(chain_copy, (x,), trials=reps)
+        res = BenchResult(f"memory copy ({label} at a time)", meas, 2 * data_size)
+        print_result(res, roof)
+        results.append(res)
+    return results
+
+
+def _bench_variants(variants, roof, verify, reps=DEFAULT_REPETITIONS):
+    results = []
+    for name, chain, args, static, traffic, *extra in variants:
+        tkw = extra[0] if extra else {}
+        meas = measure_loop(
+            functools.partial(chain, **static), args, trials=max(2, reps), **tkw
+        )
+        res = BenchResult(name, meas, traffic)
+        print_result(res, roof)
+        results.append(res)
+    if verify is not None:
+        print("    verification:", "ok" if verify() else "FAILED")
+    return results
+
+
+# The jnp oracle path gathers per-value (words[i*width//32]) — orders of
+# magnitude slower than the Pallas kernel, like the reference's scalar
+# ``*_unvectorized`` baselines. It is benchmarked on a capped slice so the
+# suite stays fast.
+ORACLE_CAP = 8 * 1024 * 1024
+
+
+def bench_decompression(
+    data_size: int = DEFAULT_DATA_SIZE,
+    reps: int = DEFAULT_REPETITIONS,
+    width: int = DEFAULT_WIDTH,
+):
+    """Unpack kernel variants (B3: src/benchmark.cpp:51-108).
+
+    The reference's 9 SSE/AVX variants collapse to the single Pallas kernel
+    at different grid tile sizes, plus the XLA-compiled oracle (the analog
+    of its scalar ``decompress_unvectorized``).
+    """
+    n = values_for(data_size, width)
+    vals = synth_ramp(n, width)
+    dev = unpack_ops.pack_device_kernel(vals, width)
+    roof = hbm_peak_bytes_per_s()
+    traffic = packed_nbytes(width, n) + 4 * n
+    variants = [
+        (
+            f"pallas unpack tb={tb}",
+            chain_unpack,
+            (dev.tiles,),
+            dict(width=width, tb=tb),
+            traffic,
+        )
+        for tb in (8, 16, 32)
+    ]
+    n_o = values_for(min(data_size, ORACLE_CAP), width)
+    col_o = layout.pack(synth_ramp(n_o, width), width)
+    variants.append(
+        (
+            f"xla oracle unpack ({n_o} values)",
+            chain_oracle_unpack,
+            (col_o.words,),
+            dict(width=width, n=n_o),
+            packed_nbytes(width, n_o) + 4 * n_o,
+            dict(k_lo=1, k_hi=3),
+        )
+    )
+    return _bench_variants(
+        variants, roof, verify=lambda: check_decompression(dev, vals), reps=reps
+    )
+
+
+def bench_scan(
+    data_size: int = DEFAULT_DATA_SIZE,
+    reps: int = DEFAULT_REPETITIONS,
+    width: int = DEFAULT_WIDTH,
+):
+    """Single-predicate scan (B4: src/benchmark.cpp:142-194): corpus i%5,
+    key 3."""
+    n = values_for(data_size, width)
+    vals = synth_mod5(n)
+    dev = unpack_ops.pack_device_kernel(vals, width)
+    keys = jnp.array([3], jnp.uint32)
+    roof = hbm_peak_bytes_per_s()
+    traffic = packed_nbytes(width, n) + layout.bitvector_words(n) * 4
+    variants = [
+        (
+            f"pallas scan tb={tb}",
+            chain_shared_scan,
+            (dev.tiles, keys),
+            dict(width=width, n=n, tb=tb),
+            traffic,
+        )
+        for tb in (8, 16, 32)
+    ]
+    n_o = values_for(min(data_size, ORACLE_CAP), width)
+    col_o = layout.pack(synth_mod5(n_o), width)
+    variants.append(
+        (
+            f"xla oracle scan ({n_o} values)",
+            chain_oracle_shared_scan,
+            (col_o.words, keys),
+            dict(width=width, n=n_o),
+            packed_nbytes(width, n_o) + layout.bitvector_words(n_o) * 4,
+            dict(k_lo=1, k_hi=3),
+        )
+    )
+    return _bench_variants(
+        variants, roof, verify=lambda: check_shared_scan(dev, keys, vals), reps=reps
+    )
+
+
+def bench_shared_scan(
+    data_size: int = DEFAULT_DATA_SIZE // 8,
+    reps: int = DEFAULT_REPETITIONS,
+    k: int = 8,
+    width: int = DEFAULT_WIDTH,
+):
+    """Shared scan, k predicates in one pass (B5: src/benchmark.cpp:196-306):
+    corpus i%k%512, predicates 0..k-1."""
+    n = values_for(data_size, width)
+    vals = synth_modk(n, k, width)
+    dev = unpack_ops.pack_device_kernel(vals, width)
+    keys = jnp.arange(k, dtype=jnp.uint32)
+    roof = hbm_peak_bytes_per_s()
+    traffic = packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
+    variants = [
+        (
+            f"pallas shared scan k={k} tb={tb}",
+            chain_shared_scan,
+            (dev.tiles, keys),
+            dict(width=width, n=n, tb=tb),
+            traffic,
+        )
+        for tb in (8, 16, 32)
+    ]
+    n_o = values_for(min(data_size, ORACLE_CAP), width)
+    col_o = layout.pack(synth_modk(n_o, k, width), width)
+    variants.append(
+        (
+            f"xla oracle shared scan k={k} ({n_o} values)",
+            chain_oracle_shared_scan,
+            (col_o.words, keys),
+            dict(width=width, n=n_o),
+            packed_nbytes(width, n_o) + k * layout.bitvector_words(n_o) * 4,
+            dict(k_lo=1, k_hi=3),
+        )
+    )
+    return _bench_variants(
+        variants, roof, verify=lambda: check_shared_scan(dev, keys, vals), reps=reps
+    )
+
+
+def bench_pack(
+    data_size: int = DEFAULT_DATA_SIZE,
+    reps: int = DEFAULT_REPETITIONS,
+    width: int = DEFAULT_WIDTH,
+):
+    """Device-side compression round-trip half (C2 analog)."""
+    n = values_for(data_size, width)
+    vals_flat = synth_ramp(n, width)
+    dev = unpack_ops.pack_device_kernel(vals_flat, width)
+    vals = unpack_ops.unpack_tiles(dev.tiles, width)  # device value layout
+    roof = hbm_peak_bytes_per_s()
+    traffic = 4 * n + packed_nbytes(width, n)
+    variants = [
+        (
+            f"pallas pack tb={tb}",
+            chain_pack,
+            (vals,),
+            dict(width=width, tb=tb),
+            traffic,
+        )
+        for tb in (8, 16, 32)
+    ]
+    return _bench_variants(variants, roof, verify=None, reps=reps)

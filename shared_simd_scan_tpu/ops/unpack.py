@@ -139,6 +139,24 @@ def _pack_kernel(in_ref, out_ref, *, width: int):
         out_ref[k] = w
 
 
+def pack_device_kernel(
+    values: jax.Array, width: int, tb: int | None = None, interpret: bool = False
+) -> DeviceColumn:
+    """Compress flat (n,) values into a DeviceColumn with the Pallas pack
+    kernel — the scalable path for large columns (layout.pack_device's jnp
+    path materializes (B, 32) temporaries XLA handles poorly at 10^8+
+    values)."""
+    from shared_simd_scan_tpu.layout import padded_blocks  # local: avoid cycle
+
+    n = int(values.shape[0])
+    bp = padded_blocks(n)
+    flat = jnp.zeros(bp * BLOCK_VALUES, jnp.uint32)
+    flat = jax.lax.dynamic_update_slice(flat, values.astype(jnp.uint32), (0,))
+    vals = flat_to_values(flat, bp // LANES)
+    tiles = pack_tiles(vals, width, tb=tb, interpret=interpret)
+    return DeviceColumn(width=width, n=n, tiles=tiles)
+
+
 @functools.partial(jax.jit, static_argnames=("width", "tb", "interpret"))
 def pack_tiles(
     vals: jax.Array, width: int, tb: int | None = None, interpret: bool = False
