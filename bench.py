@@ -15,7 +15,11 @@ import sys
 import jax
 import jax.numpy as jnp
 
-from shared_simd_scan_tpu import layout
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from shared_simd_scan_tpu import layout  # noqa: E402
 from shared_simd_scan_tpu.bench import harness
 from shared_simd_scan_tpu.bench.timing import measure_loop
 from shared_simd_scan_tpu.ops import unpack as unpack_ops
@@ -45,6 +49,7 @@ def main() -> int:
             functools.partial(harness.chain_shared_scan, width=WIDTH, n=n, tb=tb),
             (dev.tiles, keys),
             trials=3,
+            est_iter_s=traffic / 400e9,
         )
         bps = traffic / m.seconds
         if best is None or bps > best:

@@ -21,7 +21,12 @@ import sys
 
 import jax
 
-from shared_simd_scan_tpu.bench import harness
+# Remote TPU compiles cost minutes; cache executables across runs.
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from shared_simd_scan_tpu.bench import harness  # noqa: E402
 
 
 def _parse_size(s: str) -> int:

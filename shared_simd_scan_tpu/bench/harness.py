@@ -25,6 +25,7 @@ from shared_simd_scan_tpu.layout import packed_nbytes
 from shared_simd_scan_tpu.ops import oracle
 from shared_simd_scan_tpu.ops import scan as scan_ops
 from shared_simd_scan_tpu.ops import unpack as unpack_ops
+from shared_simd_scan_tpu.ops import xla_kernels
 
 # Default workload: 500 MiB packed payload, shared scan at 1/8 of that —
 # mirrors the reference defaults (src/benchmark.hpp:4-5, src/main.cpp:98).
@@ -160,6 +161,28 @@ def chain_shared_scan(tiles, keys, salt, k, *, width, n, tb):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n"))
+def chain_xla_shared_scan(tiles, keys, salt, k, *, width, n):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = xla_kernels.shared_scan_tiles_xla(tiles, kv, width, n)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width"))
+def chain_xla_unpack(tiles, salt, k, *, width):
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        vals = xla_kernels.unpack_tiles_xla(t, width)
+        return t, acc + vals[0, 0, 0]
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n"))
 def chain_oracle_shared_scan(words, keys, salt, k, *, width, n):
     def body(i, acc):
         kv = keys + ((salt + jnp.uint32(i)) << 16)
@@ -235,7 +258,9 @@ def bench_memory(data_size: int = DEFAULT_DATA_SIZE, reps: int = DEFAULT_REPETIT
     for dtype, label in ((jnp.uint8, "1 byte"), (jnp.uint16, "2 bytes"), (jnp.uint32, "4 bytes")):
         nelem = data_size // jnp.dtype(dtype).itemsize
         x = jnp.zeros(nelem, dtype)
-        meas = measure_loop(chain_copy, (x,), trials=reps)
+        meas = measure_loop(
+            chain_copy, (x,), trials=reps, est_iter_s=2 * data_size / 700e9
+        )
         res = BenchResult(f"memory copy ({label} at a time)", meas, 2 * data_size)
         print_result(res, roof)
         results.append(res)
@@ -246,6 +271,10 @@ def _bench_variants(variants, roof, verify, reps=DEFAULT_REPETITIONS):
     results = []
     for name, chain, args, static, traffic, *extra in variants:
         tkw = extra[0] if extra else {}
+        # Size the timed span from known traffic at a plausible bandwidth —
+        # avoids a pilot probe (each extra loop count is a multi-minute
+        # remote compile).
+        tkw.setdefault("est_iter_s", traffic / 400e9)
         meas = measure_loop(
             functools.partial(chain, **static), args, trials=max(2, reps), **tkw
         )
@@ -290,6 +319,9 @@ def bench_decompression(
         )
         for tb in (8, 16, 32)
     ]
+    variants.append(
+        ("xla fused unpack", chain_xla_unpack, (dev.tiles,), dict(width=width), traffic)
+    )
     n_o = values_for(min(data_size, ORACLE_CAP), width)
     col_o = layout.pack(synth_ramp(n_o, width), width)
     variants.append(
@@ -371,6 +403,15 @@ def bench_shared_scan(
         )
         for tb in (8, 16, 32)
     ]
+    variants.append(
+        (
+            f"xla fused shared scan k={k}",
+            chain_xla_shared_scan,
+            (dev.tiles, keys),
+            dict(width=width, n=n),
+            traffic,
+        )
+    )
     n_o = values_for(min(data_size, ORACLE_CAP), width)
     col_o = layout.pack(synth_modk(n_o, k, width), width)
     variants.append(

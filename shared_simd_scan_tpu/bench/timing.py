@@ -63,20 +63,27 @@ def measure_loop(
     trials: int = 3,
     salt0: int = 0,
     target_s: float = 0.35,
+    est_iter_s: float | None = None,
 ) -> Measurement:
     """Time ``chain(*args, salt, k)`` per iteration.
 
     ``chain`` must be jit-compatible with ``k`` static and return a scalar.
     Submission/fetch overhead is tens of ms with multi-ms jitter, so
     ``(k_hi - k_lo) * per_iter`` should comfortably exceed ~100 ms for a
-    clean signal; when ``k_hi`` is None it is calibrated from a pilot
-    two-point probe so the differenced span is ~``target_s`` seconds.
-    Medians over ``trials`` submissions of each loop count are differenced
-    (more robust than differencing per-trial pairs).
+    clean signal; when ``k_hi`` is None it is sized so the differenced span
+    is ~``target_s`` seconds — from ``est_iter_s`` (an a-priori per-iteration
+    estimate, e.g. traffic/plausible-bandwidth; preferred, saves a compile)
+    or else from a pilot two-point probe.  Medians over ``trials``
+    submissions of each loop count are differenced (more robust than
+    differencing per-trial pairs).
     """
     salt = salt0
     # compile the low loop count (uncached first execution)
     _fetch(chain(*args, jnp.uint32(salt), k_lo)); salt += 1
+
+    if k_hi is None and est_iter_s is not None:
+        span = min(max(int(target_s / max(est_iter_s, 1e-6)), 64), 16384)
+        k_hi = k_lo + ((span + 127) // 128) * 128
 
     if k_hi is None:
         k_probe = 4 * k_lo

@@ -43,8 +43,24 @@ from shared_simd_scan_tpu.layout import (
 from shared_simd_scan_tpu.ops.unpack import DEFAULT_TB, _pick_tb, _unpack_block_values
 
 
+def default_scan_tb(k: int) -> int:
+    """Default blocks-sublane tile for the scan kernel.
+
+    Measured on v5e at 512 MiB: per-grid-step overhead dominates small
+    tiles (tb=32 left k=1 at ~20% of roofline), while VMEM pressure caps
+    large ones as k grows.  tb=512 puts k=1 at ~95% of the HBM roofline;
+    k=8 peaks around tb=128."""
+    return min(512, max(32, 1024 // max(k, 1)))
+
+
 def _shared_scan_kernel(off_ref, keys_ref, in_ref, bits_ref, cnt_ref, *, width, k, tb, n):
-    """One grid step: blocks tile (width, TB, 128) -> bits (k, TB, 128)."""
+    """One grid step: blocks tile (width, TB, 128) -> bits (k, TB, 128)
+    plus this step's partial hit counts (1, k, LANES).
+
+    Counts are written to a distinct block per grid step and reduced by the
+    caller: accumulating into one revisited VMEM block instead creates a
+    cross-step dependency that stalls the grid pipeline (measured ~20%
+    on the k=1 scan)."""
     i = pl.program_id(0)
 
     # Validity mask per block word: zero bits at value index >= n
@@ -69,14 +85,10 @@ def _shared_scan_kernel(off_ref, keys_ref, in_ref, bits_ref, cnt_ref, *, width, 
             key = keys_ref[j, 0]
             accs[j] = accs[j] | jnp.where(v == key, bit, jnp.uint32(0))
 
-    @pl.when(i == 0)
-    def _():
-        cnt_ref[...] = jnp.zeros_like(cnt_ref)
-
     for j in range(k):
         word = accs[j] & valid
         bits_ref[j] = word
-        cnt_ref[j] = cnt_ref[j] + jnp.sum(
+        cnt_ref[0, j] = jnp.sum(
             jax.lax.population_count(word).astype(jnp.int32), axis=0
         )
 
@@ -104,7 +116,7 @@ def shared_scan_tiles(
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     k = int(keys.shape[0])
-    tb = _pick_tb(b1, tb)
+    tb = _pick_tb(b1, tb if tb is not None else default_scan_tb(k))
     grid = (b1 // tb,)
     keys2 = keys.astype(jnp.uint32).reshape(k, 1)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
@@ -112,7 +124,7 @@ def shared_scan_tiles(
         functools.partial(_shared_scan_kernel, width=width, k=k, tb=tb, n=n),
         out_shape=(
             jax.ShapeDtypeStruct((k, b1, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((k, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
         ),
         grid=grid,
         in_specs=[
@@ -126,11 +138,11 @@ def shared_scan_tiles(
             pl.BlockSpec(
                 (k, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
-            pl.BlockSpec((k, LANES), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
         interpret=interpret,
     )(off, keys2, tiles)
-    return bits, jnp.sum(cnt, axis=1)
+    return bits, jnp.sum(cnt, axis=(0, 2))
 
 
 def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:

@@ -42,9 +42,12 @@ from shared_simd_scan_tpu.layout import (
     unpack_schedule,
 )
 
-# Default blocks-sublane tile per grid step. 8 sublane rows x 128 lanes of
-# blocks = 32768 values per step; input bytes/step = width*8*128*4.
-DEFAULT_TB = 8
+# Default blocks-sublane tile per grid step (128 sublane rows x 128 lanes of
+# blocks = 512K values per step).  Small tiles leave the kernel dominated by
+# per-grid-step overhead (measured on v5e at 512 MiB: tb=8 gave 368 GB/s,
+# tb=64 572, tb=128 651); the ceiling is VMEM: in+out blocks are
+# (width + 32) * tb * 128 * 4 bytes, double-buffered (8.3 MB at width 31).
+DEFAULT_TB = 128
 
 
 def _pick_tb(b1: int, tb: int | None) -> int:
