@@ -18,5 +18,17 @@ from shared_simd_scan_tpu.layout import (  # noqa: F401
     unpack_schedule,
 )
 from shared_simd_scan_tpu import bitvector  # noqa: F401
+from shared_simd_scan_tpu import io  # noqa: F401
+from shared_simd_scan_tpu.ops.scan import (  # noqa: F401
+    scan_device,
+    shared_scan_device,
+    shared_scan_linear_device,
+    interval_scan_device,
+    range_scan_device,
+)
+from shared_simd_scan_tpu.ops.unpack import (  # noqa: F401
+    pack_device_kernel,
+    unpack_device,
+)
 
 __version__ = "0.1.0"

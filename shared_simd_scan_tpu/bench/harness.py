@@ -160,6 +160,16 @@ def chain_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
+def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
+    def body(i, acc):
+        lo = (salt + jnp.uint32(i)) & jnp.uint32((1 << width) - 1)
+        _, cnt = scan_ops.interval_scan_tiles(tiles, lo, kk, width, n, tb=tb)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n"))
 def chain_xla_shared_scan(tiles, keys, salt, k, *, width, n):
     def body(i, acc):
@@ -403,6 +413,16 @@ def bench_shared_scan(
         )
         for tb in (8, 16, 32)
     ]
+    if k <= 32:
+        variants.append(
+            (
+                f"pallas interval scan k={k} (keys lo..lo+k-1)",
+                chain_interval_scan,
+                (dev.tiles,),
+                dict(width=width, n=n, tb=None, kk=k),
+                traffic,
+            )
+        )
     variants.append(
         (
             f"xla fused shared scan k={k}",

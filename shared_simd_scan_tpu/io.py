@@ -1,0 +1,64 @@
+"""Column persistence: save/load packed columns and match bitvectors.
+
+The reference persists nothing (SURVEY.md §5.4 — all data synthesized
+per run); a production scan service needs durable compressed columns, so
+this is a deliberate capability extension.  The on-disk payload is the
+canonical LSB-first bitstream — byte-identical to the reference's in-memory
+buffer — behind a small self-describing header, so files interoperate with
+anything that speaks the reference layout.
+
+Format (little-endian):
+    magic   4s   b"SSS1"
+    kind    u8   1 = packed column, 2 = bitvector
+    width   u8   bit width (column) / 0 (bitvector)
+    _pad    u16  zero
+    n       u64  value count (column) / bit count (bitvector)
+    payload ceil(n*width/8) bytes (column) / ceil(n/8) bytes (bitvector)
+"""
+from __future__ import annotations
+
+import pathlib
+import struct
+
+import jax
+import numpy as np
+
+from shared_simd_scan_tpu import bitvector as bv
+from shared_simd_scan_tpu.layout import PackedColumn, packed_nbytes
+
+MAGIC = b"SSS1"
+_HEADER = struct.Struct("<4sBBHQ")
+KIND_COLUMN = 1
+KIND_BITVECTOR = 2
+
+
+def save_column(col: PackedColumn, path) -> None:
+    payload = col.to_bytes()
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, KIND_COLUMN, col.width, 0, col.n))
+        f.write(payload)
+
+
+def load_column(path) -> PackedColumn:
+    data = pathlib.Path(path).read_bytes()
+    magic, kind, width, _, n = _HEADER.unpack_from(data)
+    if magic != MAGIC or kind != KIND_COLUMN:
+        raise ValueError(f"{path}: not a packed-column file")
+    payload = data[_HEADER.size : _HEADER.size + packed_nbytes(width, n)]
+    return PackedColumn.from_bytes(payload, width, n)
+
+
+def save_bitvector(bits: jax.Array, n: int, path) -> None:
+    """bits: canonical uint32 bitvector words for n values."""
+    with open(path, "wb") as f:
+        f.write(_HEADER.pack(MAGIC, KIND_BITVECTOR, 0, 0, n))
+        f.write(bv.to_bytes(bits, n))
+
+
+def load_bitvector(path) -> tuple[jax.Array, int]:
+    data = pathlib.Path(path).read_bytes()
+    magic, kind, _, _, n = _HEADER.unpack_from(data)
+    if magic != MAGIC or kind != KIND_BITVECTOR:
+        raise ValueError(f"{path}: not a bitvector file")
+    payload = data[_HEADER.size : _HEADER.size + (n + 7) // 8]
+    return bv.from_bytes(payload, n), n

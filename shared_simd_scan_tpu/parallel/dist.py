@@ -44,6 +44,25 @@ from shared_simd_scan_tpu.ops import unpack as unpack_ops
 DATA_AXIS = "data"
 
 
+def initialize(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host process-group setup (wraps jax.distributed.initialize).
+
+    Call once per host before any device use; afterwards ``make_mesh()``
+    spans every process's devices and the sharded scans run unchanged —
+    psum rides ICI within a slice, DCN across slices.  No-args form reads
+    the standard cluster environment (TPU pod metadata / JAX_COORDINATOR).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(devices=None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:

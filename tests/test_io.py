@@ -1,0 +1,40 @@
+"""Column/bitvector persistence tests."""
+import numpy as np
+
+from shared_simd_scan_tpu import io, layout
+from shared_simd_scan_tpu.ops import oracle
+
+
+def test_column_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << 9, 10_007, dtype=np.uint32)
+    col = layout.pack(vals, 9)
+    p = tmp_path / "col.sss"
+    io.save_column(col, p)
+    col2 = io.load_column(p)
+    assert (col2.width, col2.n) == (9, 10_007)
+    assert col2.to_bytes() == col.to_bytes()
+    np.testing.assert_array_equal(np.asarray(oracle.unpack(col2)), vals)
+
+
+def test_bitvector_roundtrip(tmp_path):
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 32, 5_001, dtype=np.uint32)
+    col = layout.pack(vals, 5)
+    bits, hits = oracle.scan(col, 7)
+    p = tmp_path / "bits.sss"
+    io.save_bitvector(bits, col.n, p)
+    bits2, n2 = io.load_bitvector(p)
+    assert n2 == col.n
+    np.testing.assert_array_equal(np.asarray(bits2), np.asarray(bits))
+
+
+def test_reject_wrong_kind(tmp_path):
+    rng = np.random.default_rng(2)
+    col = layout.pack(rng.integers(0, 4, 100, dtype=np.uint32), 2)
+    p = tmp_path / "col.sss"
+    io.save_column(col, p)
+    import pytest
+
+    with pytest.raises(ValueError):
+        io.load_bitvector(p)

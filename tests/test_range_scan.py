@@ -1,0 +1,68 @@
+"""Interval (consecutive-key) and range-predicate scan kernel tests."""
+import numpy as np
+import pytest
+
+from shared_simd_scan_tpu import bitvector, layout
+from shared_simd_scan_tpu.ops import oracle, scan as scan_ops
+
+
+def _col(width, n, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    return vals, layout.pack(vals, width)
+
+
+@pytest.mark.parametrize("k", [1, 2, 5, 8, 9, 16, 32])
+def test_interval_scan_matches_shared_scan(k):
+    width, n = 9, 40_000
+    vals, col = _col(width, n, seed=k)
+    dev = layout.to_device(col)
+    lo = 100
+    bits, counts = scan_ops.interval_scan_device(dev, lo, k, interpret=True)
+    keys = np.arange(lo, lo + k, dtype=np.uint32)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+
+
+def test_interval_scan_wraparound_guard():
+    # lo near the top of the domain: v < lo must not match (unsigned wrap)
+    width, n, k = 9, 10_000, 8
+    vals, col = _col(width, n, seed=77)
+    dev = layout.to_device(col)
+    lo = (1 << width) - 3  # only keys 509,510,511 are in-domain
+    bits, counts = scan_ops.interval_scan_device(dev, lo, k, interpret=True)
+    for j in range(k):
+        assert int(counts[j]) == int((vals == lo + j).sum())
+
+
+@pytest.mark.parametrize("k", [1, 3, 8])
+def test_range_scan_parity_vs_numpy(k):
+    width, n = 11, 30_000
+    vals, col = _col(width, n, seed=k + 7)
+    dev = layout.to_device(col)
+    rng = np.random.default_rng(k)
+    lows = rng.integers(0, 1 << width, k).astype(np.uint32)
+    highs = (lows + rng.integers(0, 200, k)).astype(np.uint32)
+    bits, counts = scan_ops.range_scan_device(dev, lows, highs, interpret=True)
+    for j in range(k):
+        expect = (vals >= lows[j]) & (vals < highs[j])
+        assert int(counts[j]) == int(expect.sum()), j
+        assert bitvector.to_bytes(bits[j], n) == np.packbits(
+            expect, bitorder="little"
+        ).tobytes(), j
+
+
+def test_range_scan_empty_and_full_ranges():
+    width, n = 9, 5_000
+    vals, col = _col(width, n, seed=5)
+    dev = layout.to_device(col)
+    lows = np.array([0, 7, 500], np.uint32)
+    highs = np.array([512, 7, 2], np.uint32)  # full, empty, inverted(empty)
+    bits, counts = scan_ops.range_scan_device(dev, lows, highs, interpret=True)
+    assert int(counts[0]) == n
+    assert int(counts[1]) == 0
+    # inverted range hi < lo: hi-lo wraps huge -> matches v >= lo (documented
+    # half-open unsigned semantics); just check it equals the numpy model
+    expect2 = (vals - np.uint32(500)) < np.uint32((2 - 500) & 0xFFFFFFFF)
+    assert int(counts[2]) == int(expect2.sum())
