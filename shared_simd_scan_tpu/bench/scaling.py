@@ -1,0 +1,87 @@
+"""Multi-device scaling benchmark (BASELINE.md: bytes/s at 1 chip, 1 host,
+N >= 2 hosts — linear scaling expected).
+
+Runs the sharded shared scan over meshes of 1, 2, 4, ... up to all
+available devices, holding the per-device shard size constant (weak
+scaling — the production regime: a bigger cluster scans a bigger column in
+the same time).  For each mesh size prints aggregate bytes/s and the
+per-device efficiency vs the 1-device run.
+
+On a multi-host pod, run under ``dist.initialize()`` on every host; this
+module only sees ``jax.devices()`` and is topology-agnostic.  (A 1-chip
+environment degenerates to the single row — the protocol is what matters.)
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from shared_simd_scan_tpu import layout
+from shared_simd_scan_tpu.bench import harness
+from shared_simd_scan_tpu.bench.timing import measure_loop
+from shared_simd_scan_tpu.ops import unpack as unpack_ops
+from shared_simd_scan_tpu.parallel import dist
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "mesh", "width", "n", "interpret")
+)
+def _chain_sharded(tiles, keys, salt, k, *, mesh, width, n, interpret):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = dist._sharded_shared_scan_tiles(
+            tiles, kv, mesh=mesh, width=width, n=n, tb=None, interpret=interpret
+        )
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
+def bench_scaling(
+    per_device_data_size: int = 64 * 1024 * 1024,
+    reps: int = 3,
+    k: int = 8,
+    width: int = harness.DEFAULT_WIDTH,
+):
+    devices = jax.devices()
+    interpret = devices[0].platform == "cpu"
+    roof1 = harness.hbm_peak_bytes_per_s()
+    sizes = []
+    d = 1
+    while d <= len(devices):
+        sizes.append(d)
+        d *= 2
+
+    base_bps = None
+    results = []
+    for nd in sizes:
+        mesh = dist.make_mesh(devices[:nd])
+        n = harness.values_for(per_device_data_size * nd, width)
+        vals = harness.synth_modk(n, k, width)
+        dev = unpack_ops.pack_device_kernel(vals, width, interpret=interpret)
+        sdev = dist.shard_column(dev, mesh)
+        keys = jnp.arange(k, dtype=jnp.uint32)
+        traffic = layout.packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
+        meas = measure_loop(
+            functools.partial(
+                _chain_sharded, mesh=mesh, width=width, n=n, interpret=interpret
+            ),
+            (sdev.tiles, keys),
+            trials=reps,
+            est_iter_s=traffic / (400e9 * nd) if not interpret else None,
+            k_lo=2 if interpret else 8,
+            k_hi=6 if interpret else None,
+        )
+        bps = traffic / meas.seconds
+        if base_bps is None:
+            base_bps = bps
+        eff = bps / (base_bps * nd)
+        res = harness.BenchResult(
+            f"sharded shared scan k={k} on {nd} device(s)", meas, traffic
+        )
+        harness.print_result(res, roof1 * nd if roof1 else None)
+        print(f"    scaling efficiency vs 1 device: {100 * eff:.1f}%")
+        results.append((nd, bps, eff))
+    return results

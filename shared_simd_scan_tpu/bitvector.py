@@ -54,6 +54,23 @@ def popcount(bits: jax.Array) -> jax.Array:
     )
 
 
+def match_indices(
+    bits: jax.Array, n: int, size: int, fill_value: int | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Materialize matching row indices from a match bitvector.
+
+    Returns (indices int32[size], count): the positions of set bits in
+    ascending order, padded with ``fill_value`` (default n).  ``size`` is
+    the static output capacity (XLA needs static shapes); indices beyond
+    ``count`` are padding.  This is the match-index materialization step
+    the reference leaves to the caller (its outputs stop at bitvectors).
+    """
+    mask = to_bool(bits, n)
+    fill = n if fill_value is None else fill_value
+    (idx,) = jnp.nonzero(mask, size=size, fill_value=fill)
+    return idx.astype(jnp.int32), jnp.sum(mask.astype(jnp.int32))
+
+
 def to_bytes(bits: jax.Array, n: int) -> bytes:
     """Exact ceil(n/8) payload bytes — byte-parity with the reference."""
     raw = np.asarray(jax.device_get(bits)).astype("<u4").tobytes()

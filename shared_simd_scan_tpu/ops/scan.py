@@ -151,14 +151,40 @@ def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:
     return bits.reshape(*lead, -1)[..., : bitvector_words(n)]
 
 
+def _consecutive_lo(keys) -> int | None:
+    """lo if keys are the concrete consecutive run lo..lo+k-1 (k<=32)."""
+    import numpy as np
+
+    if isinstance(keys, jax.core.Tracer):
+        return None
+    arr = np.asarray(keys)
+    k = arr.shape[0]
+    if not (2 <= k <= 32):
+        return None
+    lo = int(arr[0])
+    return lo if (arr == lo + np.arange(k, dtype=arr.dtype)).all() else None
+
+
 def shared_scan_device(
     dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
 ) -> tuple[jax.Array, jax.Array]:
-    """Shared scan on a DeviceColumn -> ((k, W) canonical bitvectors, (k,) counts)."""
+    """Shared scan on a DeviceColumn -> ((k, W) canonical bitvectors, (k,) counts).
+
+    Concrete consecutive predicate sets (lo..lo+k-1, the reference
+    benchmark's own shape and the per-key decomposition of a range
+    predicate) dispatch to the O(1)-in-k interval kernel; arbitrary key
+    sets use the general per-key-compare kernel."""
     keys = jnp.asarray(keys, jnp.uint32)
-    bits, counts = shared_scan_tiles(
-        dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
-    )
+    lo = _consecutive_lo(keys)
+    if lo is not None:
+        bits, counts = interval_scan_tiles(
+            dev.tiles, lo, int(keys.shape[0]), dev.width, dev.n,
+            tb=tb, interpret=interpret,
+        )
+    else:
+        bits, counts = shared_scan_tiles(
+            dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+        )
     return bits_to_canonical(bits, dev.n), counts
 
 

@@ -166,3 +166,76 @@ def sharded_unpack(
     return _sharded_unpack_tiles(
         dev.tiles, mesh=mesh, width=dev.width, tb=tb, interpret=interpret
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "width", "n", "tb", "interpret")
+)
+def _sharded_interval_scan_tiles(tiles, lo, *, mesh, k, width, n, tb, interpret):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, lo_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = scan_ops.interval_scan_tiles(
+            tiles_l, lo_l, k, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=(P(None, DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, lo)
+
+
+def sharded_interval_scan(
+    dev: DeviceColumn, lo, k: int, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded shared scan for consecutive keys lo..lo+k-1 (see
+    scan_ops.interval_scan_tiles): bits sharded along the block axis,
+    counts psum-reduced."""
+    lo = jnp.asarray(lo, jnp.uint32)
+    return _sharded_interval_scan_tiles(
+        dev.tiles, lo, mesh=mesh, k=k, width=dev.width, n=dev.n, tb=tb,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "width", "n", "tb", "interpret")
+)
+def _sharded_range_scan_tiles(tiles, lows, highs, *, mesh, width, n, tb, interpret):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, lows_l, highs_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = scan_ops.range_scan_tiles(
+            tiles_l, lows_l, highs_l, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(), P()),
+        out_specs=(P(None, DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, lows, highs)
+
+
+def sharded_range_scan(
+    dev: DeviceColumn, lows, highs, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded k-range-predicate scan (see scan_ops.range_scan_tiles)."""
+    lows = jnp.asarray(lows, jnp.uint32)
+    highs = jnp.asarray(highs, jnp.uint32)
+    return _sharded_range_scan_tiles(
+        dev.tiles, lows, highs, mesh=mesh, width=dev.width, n=dev.n, tb=tb,
+        interpret=interpret,
+    )

@@ -33,3 +33,25 @@ def test_bytes_roundtrip():
     assert len(data) == (n + 7) // 8
     bits2 = bitvector.from_bytes(data, n)
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(bits2))
+
+
+def test_match_indices():
+    import jax.numpy as jnp
+
+    mask = np.zeros(100, bool)
+    mask[[3, 17, 64, 99]] = True
+    bits = bitvector.from_bool(jnp.asarray(mask))
+    idx, count = bitvector.match_indices(bits, 100, size=8)
+    assert int(count) == 4
+    assert list(np.asarray(idx[:4])) == [3, 17, 64, 99]
+    assert all(int(i) == 100 for i in np.asarray(idx[4:]))
+
+
+def test_match_indices_overflow_capacity():
+    import jax.numpy as jnp
+
+    mask = np.ones(50, bool)
+    bits = bitvector.from_bool(jnp.asarray(mask))
+    idx, count = bitvector.match_indices(bits, 50, size=10)
+    assert int(count) == 50  # true count even when capacity is smaller
+    assert list(np.asarray(idx)) == list(range(10))

@@ -69,3 +69,29 @@ def test_shard_column_sharding_layout(mesh):
     assert sdev.tiles.shape[1] % (8 * layout.SUBLANES) == 0
     spec = sdev.tiles.sharding.spec
     assert spec == jax.sharding.PartitionSpec(None, dist.DATA_AXIS, None)
+
+
+def test_sharded_interval_scan_parity(mesh):
+    width, n, k = 9, 60_000, 8
+    vals, col = _col(width, n, seed=21)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    lo = 100
+    bits, counts = dist.sharded_interval_scan(sdev, lo, k, mesh, interpret=True)
+    keys = np.arange(lo, lo + k, dtype=np.uint32)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_sharded_range_scan_parity(mesh):
+    width, n = 9, 50_000
+    vals, col = _col(width, n, seed=22)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    lows = np.array([0, 100], np.uint32)
+    highs = np.array([50, 400], np.uint32)
+    bits, counts = dist.sharded_range_scan(sdev, lows, highs, mesh, interpret=True)
+    for j in range(2):
+        expect = (vals >= lows[j]) & (vals < highs[j])
+        assert int(counts[j]) == int(expect.sum())
