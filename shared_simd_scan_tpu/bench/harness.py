@@ -327,7 +327,7 @@ def bench_decompression(
             dict(width=width, tb=tb),
             traffic,
         )
-        for tb in (8, 16, 32)
+        for tb in (64, 128)
     ]
     variants.append(
         ("xla fused unpack", chain_xla_unpack, (dev.tiles,), dict(width=width), traffic)
@@ -370,7 +370,7 @@ def bench_scan(
             dict(width=width, n=n, tb=tb),
             traffic,
         )
-        for tb in (8, 16, 32)
+        for tb in (256, 512)
     ]
     n_o = values_for(min(data_size, ORACLE_CAP), width)
     col_o = layout.pack(synth_mod5(n_o), width)
@@ -411,7 +411,7 @@ def bench_shared_scan(
             dict(width=width, n=n, tb=tb),
             traffic,
         )
-        for tb in (8, 16, 32)
+        for tb in (128, 256)
     ]
     if k <= 32:
         variants.append(
@@ -469,6 +469,6 @@ def bench_pack(
             dict(width=width, tb=tb),
             traffic,
         )
-        for tb in (8, 16, 32)
+        for tb in (64, 128)
     ]
     return _bench_variants(variants, roof, verify=None, reps=reps)

@@ -181,6 +181,12 @@ def shared_scan_device(
             dev.tiles, lo, int(keys.shape[0]), dev.width, dev.n,
             tb=tb, interpret=interpret,
         )
+    elif int(keys.shape[0]) > 32:
+        # large arbitrary key sets: non-unrolled kernel (compile time of
+        # the static kernel grows with 32*k unrolled vector ops)
+        bits, counts = shared_scan_dynamic_tiles(
+            dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+        )
     else:
         bits, counts = shared_scan_tiles(
             dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
@@ -465,3 +471,103 @@ def range_scan_device(
         dev.tiles, lows, highs, dev.width, dev.n, tb=tb, interpret=interpret
     )
     return bits_to_canonical(bits, dev.n), counts
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-k shared scan: non-unrolled predicate loop for large k
+# ---------------------------------------------------------------------------
+#
+# The static kernel unrolls 32*k vector ops at trace time — ideal for small
+# k (the analog of the reference's compile-time template
+# shared_scan_128_linear_static<NUM>, simd_scan.hpp:122-236) but code size
+# and compile time grow linearly with k.  This variant is the analog of the
+# reference's dynamic-k path (shared_scan_128_linear_standard,
+# simd_scan_shared_linear.cpp:9-62): values are unpacked ONCE into a VMEM
+# scratch, then a lax.fori_loop walks the predicate table with dynamic SMEM
+# key reads and dynamic VMEM output indexing — O(1) code size for any k.
+
+
+def _shared_scan_dynamic_kernel(
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, scratch, *, width, k, tb, n
+):
+    i = pl.program_id(0)
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    g = off_ref[0, 0] + (i * tb + row) * LANES + lane
+    valid = jnp.where(
+        g < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
+    )
+
+    # unpack once into VMEM scratch (unrolled: 32 static steps)
+    for r, v in _unpack_block_values(in_ref, width):
+        scratch[r] = v
+
+    def key_body(j, _):
+        key = keys_ref[j, 0]
+
+        def r_body(r, word):
+            vr = scratch[r]
+            bit = jnp.uint32(1) << r.astype(jnp.uint32)
+            return word | jnp.where(vr == key, bit, jnp.uint32(0))
+
+        word = jax.lax.fori_loop(
+            0, BLOCK_VALUES, r_body, jnp.zeros((tb, LANES), jnp.uint32)
+        )
+        word = word & valid
+        bits_ref[j] = word
+        cnt_ref[0, j] = jnp.sum(
+            jax.lax.population_count(word).astype(jnp.int32), axis=0
+        )
+        return 0
+
+    jax.lax.fori_loop(0, k, key_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
+def shared_scan_dynamic_tiles(
+    tiles: jax.Array,
+    keys: jax.Array,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Same contract as shared_scan_tiles; key loop not unrolled —
+    use for large k where the static kernel's compile time explodes."""
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = int(keys.shape[0])
+    # bits output block is (k, tb, LANES): keep it within ~2 MB
+    tb_auto = max(8, min(64, (1 << 22) // (k * LANES * 4)))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb,)
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(_shared_scan_dynamic_kernel, width=width, k=k, tb=tb, n=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (k, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(off, keys2, tiles)
+    return bits, jnp.sum(cnt, axis=(0, 2))

@@ -118,3 +118,30 @@ def test_shared_scan_linear_kernel_parity():
     lin = scan_ops.shared_scan_linear_device(dev, keys, interpret=True)
     olin = oracle.shared_scan_linear(col, keys)
     np.testing.assert_array_equal(np.asarray(lin), np.asarray(olin))
+
+
+@pytest.mark.parametrize("k", [3, 40])
+def test_shared_scan_dynamic_kernel_parity(k):
+    width, n = 9, 15_000
+    vals = _rand_column(width, n, seed=60 + k)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    keys = (np.arange(k, dtype=np.uint32) * 7 + 1) % (1 << width)  # arbitrary
+    bits, counts = scan_ops.shared_scan_dynamic_tiles(
+        dev.tiles, jnp.asarray(keys), width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_shared_scan_device_dispatch_large_k():
+    width, n, k = 9, 10_000, 40
+    vals = _rand_column(width, n, seed=3)
+    dev = layout.pack_device(vals, width)
+    keys = (np.arange(k, dtype=np.uint32) * 5 + 2) % (1 << width)
+    bits, counts = scan_ops.shared_scan_device(dev, keys, interpret=True)
+    for j in range(k):
+        assert int(counts[j]) == int((vals == keys[j]).sum())
