@@ -93,13 +93,22 @@ def main(argv):
                                                width=width, n=n, tb=None),
                              (dev.tiles, keys_full[:k])))
         else:
+            variants.append(("pallas shared scan",
+                             functools.partial(harness.chain_interval_scan,
+                                               width=width, n=n, tb=None, kk=k),
+                             (dev.tiles,)))
             variants.append(("pallas general-key shared scan",
                              functools.partial(chain_dynamic,
                                                width=width, n=n, tb=None),
                              (dev.tiles, keys_full[:k])))
 
         for name, fn, args in variants:
-            m = measure_loop(fn, args, trials=reps, est_iter_s=est)
+            try:
+                m = measure_loop(fn, args, trials=reps, est_iter_s=est)
+            except Exception as e:  # keep sweeping past one bad configuration
+                print(f"k={k:4d} {name}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+                continue
             gbs = traffic / m.seconds / 1e9
             rows.append({"k": k, "name": name, "avg_ms": round(m.millis, 6),
                          "gb_per_s": round(gbs, 1)})
@@ -112,8 +121,7 @@ def main(argv):
     # sequential baseline: k x the single-scan time (the reference's
     # shared_scan_128_sequential is exactly k repeated single scans)
     if 1 in seq_ms:
-        for row in list(rows):
-            kk = row["k"]
+        for kk in sorted({row["k"] for row in rows}):
             rows.append({"k": kk, "name": "sequential baseline (k x single scan)",
                          "avg_ms": round(seq_ms[1] * kk, 6),
                          "gb_per_s": ""})

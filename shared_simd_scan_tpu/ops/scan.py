@@ -152,14 +152,17 @@ def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:
 
 
 def _consecutive_lo(keys) -> int | None:
-    """lo if keys are the concrete consecutive run lo..lo+k-1 (k<=32)."""
+    """lo if keys are the concrete consecutive run lo..lo+k-1.
+
+    Threshold k >= 6: below that the general static kernel measures
+    faster than the interval kernel's fixed transpose cost (v5e sweep)."""
     import numpy as np
 
     if isinstance(keys, jax.core.Tracer):
         return None
     arr = np.asarray(keys)
     k = arr.shape[0]
-    if not (2 <= k <= 32):
+    if not (6 <= k <= 1024):
         return None
     lo = int(arr[0])
     return lo if (arr == lo + np.arange(k, dtype=arr.dtype)).all() else None
@@ -283,37 +286,52 @@ def _interval_scan_kernel(off_ref, lo_ref, in_ref, bits_ref, cnt_ref, *, width, 
     )
 
     lo = lo_ref[0, 0]
-    kk = jnp.uint32(k)
-    # per-value k-bit match mask in one variable shift (uint wraparound
-    # makes v < lo fail the j < k gate)
-    ms = []
-    for r, v in _unpack_block_values(in_ref, width):
-        j = v - lo
-        ms.append(jnp.where(j < kk, jnp.uint32(1) << j, jnp.uint32(0)))
+    multi_chunk = k > 32
+    if multi_chunk:
+        # keys processed in 32-key chunks: retain the unpacked values
+        # (tb is small at large k so the live set stays modest)
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
 
-    nchunks = (k + 7) // 8
-    words = [None] * k
-    for c in range(nchunks):
-        for grp in range(4):  # 8 values per group
-            rows8 = [ms[8 * grp + t] for t in range(8)]
-            if nchunks > 1:
-                rows8 = [(x >> jnp.uint32(8 * c)) & jnp.uint32(0xFF) for x in rows8]
-            a = rows8[0] | (rows8[1] << 8) | (rows8[2] << 16) | (rows8[3] << 24)
-            b = rows8[4] | (rows8[5] << 8) | (rows8[6] << 16) | (rows8[7] << 24)
-            ct, dt = _transpose8_pair(a, b)
-            for j in range(min(8, k - 8 * c)):
-                src = ct if j < 4 else dt
-                byte = (src >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
-                contrib = byte << jnp.uint32(8 * grp)
-                kj = 8 * c + j
-                words[kj] = contrib if words[kj] is None else words[kj] | contrib
+    for c0 in range(0, k, 32):
+        kc = min(32, k - c0)  # keys in this chunk: lo+c0 .. lo+c0+kc-1
+        kk = jnp.uint32(kc)
+        lo_c = lo + jnp.uint32(c0)
+        # per-value kc-bit match mask in one variable shift (uint
+        # wraparound makes v < lo_c fail the j < kk gate)
+        if multi_chunk:
+            ms = [
+                jnp.where((v - lo_c) < kk, jnp.uint32(1) << (v - lo_c), jnp.uint32(0))
+                for v in vs
+            ]
+        else:
+            ms = []
+            for r, v in _unpack_block_values(in_ref, width):
+                j = v - lo_c
+                ms.append(jnp.where(j < kk, jnp.uint32(1) << j, jnp.uint32(0)))
 
-    for j in range(k):
-        w = words[j] & valid
-        bits_ref[j] = w
-        cnt_ref[0, j] = jnp.sum(
-            jax.lax.population_count(w).astype(jnp.int32), axis=0
-        )
+        nbytes_c = (kc + 7) // 8
+        words = [None] * kc
+        for c in range(nbytes_c):
+            for grp in range(4):  # 8 values per group
+                rows8 = [ms[8 * grp + t] for t in range(8)]
+                if nbytes_c > 1:
+                    rows8 = [(x >> jnp.uint32(8 * c)) & jnp.uint32(0xFF) for x in rows8]
+                a = rows8[0] | (rows8[1] << 8) | (rows8[2] << 16) | (rows8[3] << 24)
+                b = rows8[4] | (rows8[5] << 8) | (rows8[6] << 16) | (rows8[7] << 24)
+                ct, dt = _transpose8_pair(a, b)
+                for j in range(min(8, kc - 8 * c)):
+                    src = ct if j < 4 else dt
+                    byte = (src >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
+                    contrib = byte << jnp.uint32(8 * grp)
+                    kj = 8 * c + j
+                    words[kj] = contrib if words[kj] is None else words[kj] | contrib
+
+        for j in range(kc):
+            w = words[j] & valid
+            bits_ref[c0 + j] = w
+            cnt_ref[0, c0 + j] = jnp.sum(
+                jax.lax.population_count(w).astype(jnp.int32), axis=0
+            )
 
 
 @functools.partial(jax.jit, static_argnames=("width", "n", "k", "tb", "interpret"))
@@ -327,16 +345,20 @@ def interval_scan_tiles(
     interpret: bool = False,
     block_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Shared scan against the k consecutive keys lo..lo+k-1 (k <= 32).
+    """Shared scan against the k consecutive keys lo..lo+k-1 (k <= 1024;
+    keys handled in 32-wide chunks above k=32).
 
     Same output contract as :func:`shared_scan_tiles` with
     keys = [lo, lo+1, ..., lo+k-1]."""
     _, b1, lanes = tiles.shape
     assert lanes == LANES
-    assert 1 <= k <= 32
+    assert 1 <= k <= 1024
     # measured on v5e at 512 MiB: k=8 best at tb=256 (516 GB/s), k=32 at
-    # tb=128 (545 GB/s)
-    tb = _pick_tb(b1, tb if tb is not None else min(512, max(128, 2048 // k)))
+    # tb=128 (545 GB/s).  Capped at 256: the kernel holds all 32 per-r
+    # masks live before the transpose (32*tb*512 B), and tb=512 blows the
+    # 16 MB VMEM budget.  At k>32 the bits output block (k*tb*512 B) is
+    # the binding VMEM term.
+    tb = _pick_tb(b1, tb if tb is not None else min(256, max(8, 4096 // k)))
     grid = (b1 // tb,)
     lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
@@ -508,14 +530,13 @@ def _shared_scan_dynamic_kernel(
     def key_body(j, _):
         key = keys_ref[j, 0]
 
-        def r_body(r, word):
-            vr = scratch[r]
-            bit = jnp.uint32(1) << r.astype(jnp.uint32)
-            return word | jnp.where(vr == key, bit, jnp.uint32(0))
-
-        word = jax.lax.fori_loop(
-            0, BLOCK_VALUES, r_body, jnp.zeros((tb, LANES), jnp.uint32)
-        )
+        # r-loop unrolled (static scratch reads, constant shifts) — only
+        # the key loop is dynamic; a doubly-dynamic version ran ~2x slower
+        word = jnp.zeros((tb, LANES), jnp.uint32)
+        for r in range(BLOCK_VALUES):
+            word = word | jnp.where(
+                scratch[r] == key, jnp.uint32(1 << r), jnp.uint32(0)
+            )
         word = word & valid
         bits_ref[j] = word
         cnt_ref[0, j] = jnp.sum(

@@ -66,3 +66,15 @@ def test_range_scan_empty_and_full_ranges():
     # half-open unsigned semantics); just check it equals the numpy model
     expect2 = (vals - np.uint32(500)) < np.uint32((2 - 500) & 0xFFFFFFFF)
     assert int(counts[2]) == int(expect2.sum())
+
+
+def test_interval_scan_large_k_chunked():
+    width, n, k = 9, 6_000, 100  # multi-chunk path (k > 32)
+    vals, col = _col(width, n, seed=13)
+    dev = layout.to_device(col)
+    lo = 50
+    bits, counts = scan_ops.interval_scan_device(dev, lo, k, interpret=True)
+    keys = np.arange(lo, lo + k, dtype=np.uint32)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
