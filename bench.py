@@ -49,11 +49,12 @@ def main() -> int:
     # that path and the general arbitrary-key kernel, report the best
     candidates = [
         functools.partial(harness.chain_interval_scan, width=WIDTH, n=n, tb=256, kk=K),
+        functools.partial(harness.chain_interval_scan, width=WIDTH, n=n, tb=128, kk=K),
         functools.partial(harness.chain_shared_scan, width=WIDTH, n=n, tb=128),
     ]
-    args_list = [(dev.tiles,), (dev.tiles, keys)]
+    args_list = [(dev.tiles,), (dev.tiles,), (dev.tiles, keys)]
     for fn, args in zip(candidates, args_list):
-        m = measure_loop(fn, args, trials=3, est_iter_s=traffic / 500e9)
+        m = measure_loop(fn, args, trials=4, est_iter_s=traffic / 500e9)
         bps = traffic / m.seconds
         if best is None or bps > best:
             best = bps
