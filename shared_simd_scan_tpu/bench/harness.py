@@ -160,6 +160,16 @@ def chain_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
+def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = scan_ops.shared_scan_dynamic_tiles(tiles, kv, width, n, tb=tb)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
     def body(i, acc):
@@ -403,16 +413,29 @@ def bench_shared_scan(
     keys = jnp.arange(k, dtype=jnp.uint32)
     roof = hbm_peak_bytes_per_s()
     traffic = packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
-    variants = [
-        (
-            f"pallas shared scan k={k} tb={tb}",
-            chain_shared_scan,
-            (dev.tiles, keys),
-            dict(width=width, n=n, tb=tb),
-            traffic,
-        )
-        for tb in (128, 256)
-    ]
+    # static unrolled kernel up to k=32; dynamic (non-unrolled) above —
+    # mirrors the library dispatch and keeps compile times sane
+    if k <= 32:
+        variants = [
+            (
+                f"pallas shared scan k={k} tb={tb}",
+                chain_shared_scan,
+                (dev.tiles, keys),
+                dict(width=width, n=n, tb=tb),
+                traffic,
+            )
+            for tb in (128, 256)
+        ]
+    else:
+        variants = [
+            (
+                f"pallas dynamic shared scan k={k}",
+                chain_dynamic_shared_scan,
+                (dev.tiles, keys),
+                dict(width=width, n=n, tb=None),
+                traffic,
+            )
+        ]
     if k <= 32:
         variants.append(
             (

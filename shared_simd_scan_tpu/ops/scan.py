@@ -352,7 +352,8 @@ def interval_scan_tiles(
     keys = [lo, lo+1, ..., lo+k-1]."""
     _, b1, lanes = tiles.shape
     assert lanes == LANES
-    assert 1 <= k <= 1024
+    if not (1 <= k <= 1024):
+        raise ValueError(f"interval scan supports 1 <= k <= 1024, got {k}")
     # measured on v5e at 512 MiB: k=8 best at tb=256 (516 GB/s), k=32 at
     # tb=128 (545 GB/s).  Capped at 256: the kernel holds all 32 per-r
     # masks live before the transpose (32*tb*512 B), and tb=512 blows the
