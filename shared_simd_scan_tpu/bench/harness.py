@@ -17,7 +17,6 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from shared_simd_scan_tpu import layout
 from shared_simd_scan_tpu.bench.timing import Measurement, measure_loop

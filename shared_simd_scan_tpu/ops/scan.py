@@ -33,14 +33,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from shared_simd_scan_tpu import bitvector as bv
 from shared_simd_scan_tpu.layout import (
     BLOCK_VALUES,
     LANES,
     DeviceColumn,
     bitvector_words,
 )
-from shared_simd_scan_tpu.ops.unpack import DEFAULT_TB, _pick_tb, _unpack_block_values
+from shared_simd_scan_tpu.ops.unpack import _pick_tb, _unpack_block_values
 
 
 def default_scan_tb(k: int) -> int:
