@@ -181,9 +181,14 @@ def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n"))
 def chain_xla_shared_scan(tiles, keys, salt, k, *, width, n):
+    # optimization_barrier forces the XLA tier to fully materialize its
+    # outputs like the Pallas kernels must — without it XLA dead-code
+    # eliminates the unused bitvectors and the comparison is meaningless
     def body(i, acc):
         kv = keys + ((salt + jnp.uint32(i)) << 16)
-        _, cnt = xla_kernels.shared_scan_tiles_xla(tiles, kv, width, n)
+        bits, cnt = jax.lax.optimization_barrier(
+            xla_kernels.shared_scan_tiles_xla(tiles, kv, width, n)
+        )
         return acc + cnt[0]
 
     return jax.lax.fori_loop(0, k, body, jnp.int32(0))
@@ -194,7 +199,7 @@ def chain_xla_unpack(tiles, salt, k, *, width):
     def body(i, carry):
         t, acc = carry
         t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
-        vals = xla_kernels.unpack_tiles_xla(t, width)
+        vals = jax.lax.optimization_barrier(xla_kernels.unpack_tiles_xla(t, width))
         return t, acc + vals[0, 0, 0]
 
     _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
