@@ -277,6 +277,10 @@ def bench_memory(data_size: int = DEFAULT_DATA_SIZE, reps: int = DEFAULT_REPETIT
     On TPU every granularity is the same HBM stream; the uint32 row is the
     roofline comparator used by the scan benches.
     """
+    from shared_simd_scan_tpu.bench.timing import timer_resolution_ns
+
+    print(f"host timer resolution: ~{timer_resolution_ns():.0f} ns "
+          "(device kernels are timed with chained loops, not this clock)")
     roof = hbm_peak_bytes_per_s()
     results = []
     for dtype, label in ((jnp.uint8, "1 byte"), (jnp.uint16, "2 bytes"), (jnp.uint32, "4 bytes")):

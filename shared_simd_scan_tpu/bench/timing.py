@@ -50,6 +50,18 @@ class Measurement:
         return self.seconds * 1e3
 
 
+def timer_resolution_ns() -> float:
+    """Median delta of back-to-back perf_counter_ns reads (the reference's
+    ``test_timer`` probe, src/benchmark_misc.cpp:54-70)."""
+    deltas = []
+    for _ in range(1000):
+        a = time.perf_counter_ns()
+        b = time.perf_counter_ns()
+        deltas.append(b - a)
+    deltas.sort()
+    return float(deltas[len(deltas) // 2])
+
+
 def _fetch(x) -> float:
     """Synchronously materialize a scalar result on the host."""
     return float(jax.device_get(x))
