@@ -42,14 +42,24 @@ from shared_simd_scan_tpu.layout import (
 from shared_simd_scan_tpu.ops.unpack import _pick_tb, _unpack_block_values
 
 
-def default_scan_tb(k: int) -> int:
+def _vmem_tb_cap(width: int, k: int, extra: int = 8,
+                 budget: int = 12_000_000) -> int:
+    """Largest sublane tile whose VMEM working set fits the ~16 MB budget
+    (with headroom): double-buffered input blocks (2*width words/block),
+    bits output (+double buffer) and live accumulators per block are all
+    proportional to tb * 512 B."""
+    per_tb = 512 * (2 * width + 3 * k + extra)
+    return max(8, (budget // per_tb) // 8 * 8)
+
+
+def default_scan_tb(k: int, width: int = 9) -> int:
     """Default blocks-sublane tile for the scan kernel.
 
     Measured on v5e at 512 MiB: per-grid-step overhead dominates small
     tiles (tb=32 left k=1 at ~20% of roofline), while VMEM pressure caps
-    large ones as k grows.  tb=512 puts k=1 at ~95% of the HBM roofline;
-    k=8 peaks around tb=128."""
-    return min(512, max(32, 1024 // max(k, 1)))
+    large ones as k and width grow.  tb=512 puts k=1 at ~95% of the HBM
+    roofline; k=8 peaks around tb=128."""
+    return min(512, max(32, 1024 // max(k, 1)), _vmem_tb_cap(width, k))
 
 
 def _shared_scan_kernel(off_ref, keys_ref, in_ref, bits_ref, cnt_ref, *, width, k, tb, n):
@@ -115,7 +125,7 @@ def shared_scan_tiles(
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     k = int(keys.shape[0])
-    tb = _pick_tb(b1, tb if tb is not None else default_scan_tb(k))
+    tb = _pick_tb(b1, tb if tb is not None else default_scan_tb(k, width))
     grid = (b1 // tb,)
     keys2 = keys.astype(jnp.uint32).reshape(k, 1)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
@@ -354,11 +364,12 @@ def interval_scan_tiles(
     if not (1 <= k <= 1024):
         raise ValueError(f"interval scan supports 1 <= k <= 1024, got {k}")
     # measured on v5e at 512 MiB: k=8 best at tb=256 (516 GB/s), k=32 at
-    # tb=128 (545 GB/s).  Capped at 256: the kernel holds all 32 per-r
-    # masks live before the transpose (32*tb*512 B), and tb=512 blows the
-    # 16 MB VMEM budget.  At k>32 the bits output block (k*tb*512 B) is
-    # the binding VMEM term.
-    tb = _pick_tb(b1, tb if tb is not None else min(256, max(8, 4096 // k)))
+    # tb=128 (545 GB/s).  Capped by the VMEM working set: 32 live per-r
+    # masks + double-buffered input blocks (width-dependent) + the
+    # (k, tb, 128) bits output block.
+    if tb is None:
+        tb = min(256, max(8, 4096 // k), _vmem_tb_cap(width, k, extra=36))
+    tb = _pick_tb(b1, tb)
     grid = (b1 // tb,)
     lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
@@ -562,8 +573,8 @@ def shared_scan_dynamic_tiles(
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     k = int(keys.shape[0])
-    # bits output block is (k, tb, LANES): keep it within ~2 MB
-    tb_auto = max(8, min(64, (1 << 22) // (k * LANES * 4)))
+    # scratch (32 rows) + double-buffered input + (k, tb, 128) bits block
+    tb_auto = min(64, _vmem_tb_cap(width, k, extra=36))
     tb = _pick_tb(b1, tb if tb is not None else tb_auto)
     grid = (b1 // tb,)
     keys2 = keys.astype(jnp.uint32).reshape(k, 1)
