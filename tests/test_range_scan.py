@@ -78,3 +78,15 @@ def test_interval_scan_large_k_chunked():
     obits, ocounts = oracle.shared_scan(col, keys)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+
+
+@pytest.mark.parametrize("width,k", [(25, 8), (31, 32), (9, 512)])
+def test_interval_default_tiles_fit_vmem_budget(width, k):
+    # the default tile choice must keep the kernel's working set within
+    # the documented VMEM budget (width-25 k-8 OOM'd before the cap)
+    from shared_simd_scan_tpu.ops.scan import _vmem_tb_cap
+
+    tb = min(256, max(8, 4096 // k), _vmem_tb_cap(width, k, extra=36))
+    working = 512 * (2 * width + 3 * k + 36) * tb
+    assert working <= 12_000_000
+    assert tb % 8 == 0 and tb >= 8
