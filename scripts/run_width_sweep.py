@@ -55,6 +55,7 @@ def main(argv):
         n = harness.values_for(size, width)
         vals = harness.synth_modk(n, k, width)
         dev = unpack_ops.pack_device_kernel(vals, width)
+        del vals  # narrow widths: the raw column is ~4x the packed size
         packed = layout.packed_nbytes(width, n)
 
         tr_u = packed + 4 * n
