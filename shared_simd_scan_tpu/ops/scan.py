@@ -303,28 +303,32 @@ def _interval_scan_kernel(off_ref, lo_ref, in_ref, bits_ref, cnt_ref, *, width, 
 
     for c0 in range(0, k, 32):
         kc = min(32, k - c0)  # keys in this chunk: lo+c0 .. lo+c0+kc-1
-        kk = jnp.uint32(kc)
         lo_c = lo + jnp.uint32(c0)
-        # per-value kc-bit match mask in one variable shift (uint
-        # wraparound makes v < lo_c fail the j < kk gate)
+        # Per-value kc-bit match mask in ONE variable shift, no gate:
+        # XLA/Mosaic shift-left saturates to 0 for amounts >= 32 (verified
+        # on both TPU hardware and the CPU interpreter), so out-of-chunk
+        # values — including v < lo_c via unsigned wraparound — produce 0,
+        # and mask bits in [kc, 32) of a partial chunk are never read by
+        # the distribute loop below.
         if multi_chunk:
-            ms = [
-                jnp.where((v - lo_c) < kk, jnp.uint32(1) << (v - lo_c), jnp.uint32(0))
-                for v in vs
-            ]
+            ms = [jnp.uint32(1) << (v - lo_c) for v in vs]
         else:
-            ms = []
-            for r, v in _unpack_block_values(in_ref, width):
-                j = v - lo_c
-                ms.append(jnp.where(j < kk, jnp.uint32(1) << j, jnp.uint32(0)))
+            ms = [
+                jnp.uint32(1) << (v - lo_c)
+                for _, v in _unpack_block_values(in_ref, width)
+            ]
 
         nbytes_c = (kc + 7) // 8
         words = [None] * kc
         for c in range(nbytes_c):
             for grp in range(4):  # 8 values per group
                 rows8 = [ms[8 * grp + t] for t in range(8)]
+                # byte-select (and clear the gateless mask's bits >= 8,
+                # which would otherwise alias into neighbouring rows)
                 if nbytes_c > 1:
                     rows8 = [(x >> jnp.uint32(8 * c)) & jnp.uint32(0xFF) for x in rows8]
+                else:
+                    rows8 = [x & jnp.uint32(0xFF) for x in rows8]
                 a = rows8[0] | (rows8[1] << 8) | (rows8[2] << 16) | (rows8[3] << 24)
                 b = rows8[4] | (rows8[5] << 8) | (rows8[6] << 16) | (rows8[7] << 24)
                 ct, dt = _transpose8_pair(a, b)
