@@ -444,7 +444,7 @@ def bench_shared_scan(
                 traffic,
             )
         ]
-    if k <= 32:
+    if k <= 1024:
         variants.append(
             (
                 f"pallas interval scan k={k} (keys lo..lo+k-1)",
