@@ -163,15 +163,16 @@ def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:
 def _consecutive_lo(keys) -> int | None:
     """lo if keys are the concrete consecutive run lo..lo+k-1.
 
-    Threshold k >= 6: below that the general static kernel measures
-    faster than the interval kernel's fixed transpose cost (v5e sweep)."""
+    Threshold k >= 4: below that the general static kernel measures
+    faster than the interval kernel's fixed transpose cost (v5e sweep
+    after the gateless-mask optimization)."""
     import numpy as np
 
     if isinstance(keys, jax.core.Tracer):
         return None
     arr = np.asarray(keys)
     k = arr.shape[0]
-    if not (6 <= k <= 1024):
+    if not (4 <= k <= 1024):
         return None
     lo = int(arr[0])
     return lo if (arr == lo + np.arange(k, dtype=arr.dtype)).all() else None
