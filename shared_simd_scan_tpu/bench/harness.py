@@ -156,7 +156,7 @@ def chain_shared_scan(tiles, keys, salt, k, *, width, n, tb):
         _, cnt = scan_ops.shared_scan_tiles(tiles, kv, width, n, tb=tb)
         return acc + cnt[0]
 
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
@@ -166,7 +166,7 @@ def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
         _, cnt = scan_ops.shared_scan_dynamic_tiles(tiles, kv, width, n, tb=tb)
         return acc + cnt[0]
 
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
@@ -176,7 +176,7 @@ def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
         _, cnt = scan_ops.interval_scan_tiles(tiles, lo, kk, width, n, tb=tb)
         return acc + cnt[0]
 
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n"))
@@ -191,7 +191,7 @@ def chain_xla_shared_scan(tiles, keys, salt, k, *, width, n):
         )
         return acc + cnt[0]
 
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width"))
@@ -213,7 +213,7 @@ def chain_oracle_shared_scan(words, keys, salt, k, *, width, n):
         _, cnt = oracle.shared_scan_words(words, kv, width, n)
         return acc + cnt[0]
 
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n"))
@@ -245,12 +245,18 @@ def check_decompression(dev: layout.DeviceColumn, expect: jax.Array) -> bool:
 def check_shared_scan(
     dev: layout.DeviceColumn, keys: jax.Array, vals: jax.Array
 ) -> bool:
-    """Counts verified exactly over the full column; bitvector bytes
-    verified against the (slow, gather-based) oracle on a 2M-value prefix."""
+    """Three-way verification, all over the FULL column:
+    counts vs a direct jnp compare; every bitvector byte vs the XLA tier
+    (independent codegen, bit-exact by unit test); plus bitvector bytes vs
+    the gather oracle on a 2M-value prefix (third implementation)."""
     bits, counts = scan_ops.shared_scan_device(dev, keys)
     match = vals[None, :] == keys[:, None].astype(jnp.uint32)
-    expect_counts = jnp.sum(match, axis=1, dtype=jnp.int32)
+    expect_counts = jnp.sum(match, axis=1, dtype=jnp.uint32)
     ok = bool(jnp.all(counts == expect_counts))
+    if ok:
+        # full-size bitvector cross-check against the XLA-compiled tier
+        xbits, xcounts = xla_kernels.shared_scan_device_xla(dev, keys)
+        ok = bool(jnp.all(bits == xbits)) and bool(jnp.all(counts == xcounts))
     if ok:
         n_chk = min(dev.n, 2_000_000)
         w_chk = layout.bitvector_words(n_chk)

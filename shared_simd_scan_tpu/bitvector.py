@@ -48,9 +48,10 @@ def from_bool(mask: jax.Array) -> jax.Array:
 
 
 def popcount(bits: jax.Array) -> jax.Array:
-    """Total set bits across the bitvector words (int32)."""
+    """Total set bits across the bitvector words (uint32; counts can
+    exceed 2^31-1 for multi-billion-value columns at narrow widths)."""
     return jnp.sum(
-        jax.lax.population_count(jnp.asarray(bits).astype(jnp.uint32)).astype(jnp.int32)
+        jax.lax.population_count(jnp.asarray(bits).astype(jnp.uint32)).astype(jnp.uint32)
     )
 
 

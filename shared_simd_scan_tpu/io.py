@@ -44,7 +44,12 @@ def load_column(path) -> PackedColumn:
     magic, kind, width, _, n = _HEADER.unpack_from(data)
     if magic != MAGIC or kind != KIND_COLUMN:
         raise ValueError(f"{path}: not a packed-column file")
-    payload = data[_HEADER.size : _HEADER.size + packed_nbytes(width, n)]
+    need = packed_nbytes(width, n)
+    payload = data[_HEADER.size : _HEADER.size + need]
+    if len(payload) < need:
+        raise ValueError(
+            f"{path}: truncated column payload ({len(payload)} of {need} bytes)"
+        )
     return PackedColumn.from_bytes(payload, width, n)
 
 
@@ -60,5 +65,10 @@ def load_bitvector(path) -> tuple[jax.Array, int]:
     magic, kind, _, _, n = _HEADER.unpack_from(data)
     if magic != MAGIC or kind != KIND_BITVECTOR:
         raise ValueError(f"{path}: not a bitvector file")
-    payload = data[_HEADER.size : _HEADER.size + (n + 7) // 8]
+    need = (n + 7) // 8
+    payload = data[_HEADER.size : _HEADER.size + need]
+    if len(payload) < need:
+        raise ValueError(
+            f"{path}: truncated bitvector payload ({len(payload)} of {need} bytes)"
+        )
     return bv.from_bytes(payload, n), n

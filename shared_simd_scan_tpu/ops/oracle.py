@@ -81,8 +81,10 @@ def shared_scan_words(
     keys = jnp.asarray(predicate_keys, jnp.uint32)  # (k,)
     match = vals[None, :] == keys[:, None]  # (k, n)
     bits = jax.vmap(bitvector.from_bool)(match)  # (k, nwords)
+    # uint32 accumulation: a per-key count can exceed 2^31-1 at narrow
+    # widths (e.g. >2^31 matches in a 512 MiB width-1 column)
     counts = jnp.sum(
-        jax.lax.population_count(bits).astype(jnp.int32), axis=1
+        jax.lax.population_count(bits).astype(jnp.uint32), axis=1
     )
     return bits, counts
 

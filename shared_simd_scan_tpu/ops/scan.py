@@ -39,7 +39,11 @@ from shared_simd_scan_tpu.layout import (
     DeviceColumn,
     bitvector_words,
 )
-from shared_simd_scan_tpu.ops.unpack import _pick_tb, _unpack_block_values
+from shared_simd_scan_tpu.ops.unpack import (
+    _pick_tb,
+    _unpack_block_values,
+    _unpack_value_at,
+)
 
 
 def _vmem_tb_cap(width: int, k: int, extra: int = 8,
@@ -87,12 +91,46 @@ def _shared_scan_kernel(off_ref, keys_ref, in_ref, bits_ref, cnt_ref, *, width, 
         jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
     )
 
+    # Skip-normalization compare (the reference's core scan trick,
+    # scan_128 simd_scan.cpp:113-137 via the clean/predicate mask pair,
+    # simd_scan_commons.hpp:52-90): for values that do not straddle a word
+    # boundary, AND the word with the clean mask (value left IN PLACE at
+    # bit offset s) and compare against the key pre-shifted by s — one
+    # vector op instead of the shift+AND normalization.  Straddling values
+    # still take the normalized path.  Out-of-domain keys (>= 2^width)
+    # must match nothing: their shifted form could alias a cleaned value
+    # mod 2^32, so they are replaced by an unmatchable all-ones sentinel
+    # (a cleaned word always has zeros outside [s, s+width)).
+    from shared_simd_scan_tpu.layout import unpack_schedule
+
+    sched = unpack_schedule(width)
+    dom = jnp.uint32(1 << width)
+    skeys = []  # per value-slot r: (shifted key per j) or None -> normalized
+    for r, (kw, s, straddles) in enumerate(sched):
+        if straddles:
+            skeys.append(None)
+        else:
+            row = []
+            for j in range(k):
+                key = keys_ref[j, 0]
+                row.append(
+                    jnp.where(key < dom, key << jnp.uint32(s), jnp.uint32(0xFFFFFFFF))
+                )
+            skeys.append(row)
+
     accs = [jnp.zeros((tb, LANES), jnp.uint32) for _ in range(k)]
-    for r, v in _unpack_block_values(in_ref, width):
+    vmask = (1 << width) - 1
+    for r, (kw, s, straddles) in enumerate(sched):
         bit = jnp.uint32(1 << r)
-        for j in range(k):
-            key = keys_ref[j, 0]
-            accs[j] = accs[j] | jnp.where(v == key, bit, jnp.uint32(0))
+        if straddles:
+            v = _unpack_value_at(in_ref, width, r)
+            for j in range(k):
+                key = keys_ref[j, 0]
+                accs[j] = accs[j] | jnp.where(v == key, bit, jnp.uint32(0))
+        else:
+            cleaned = in_ref[kw] & jnp.uint32(vmask << s)
+            for j in range(k):
+                accs[j] = accs[j] | jnp.where(cleaned == skeys[r][j], bit, jnp.uint32(0))
 
     for j in range(k):
         word = accs[j] & valid
@@ -151,7 +189,7 @@ def shared_scan_tiles(
         ),
         interpret=interpret,
     )(off, keys2, tiles)
-    return bits, jnp.sum(cnt, axis=(0, 2))
+    return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
 
 
 def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:
@@ -259,96 +297,254 @@ __all__ = [
 # The reference's shared-scan benchmark (predicates 0..k-1,
 # src/benchmark.cpp:205-209) and the common DB decomposition of a range
 # predicate both use consecutive keys.  For that case the per-value match
-# mask against ALL k keys is ONE variable shift — ``1 << (v - lo)`` gated on
-# ``v - lo < k`` — instead of k compares, and the per-key bitvectors fall
-# out of an 8x8 bit-matrix transpose (Hacker's Delight 7-3, decomposed into
-# uint32 pairs since TPU has no uint64).  Measured ops/value ~16 vs ~27 for
-# the general kernel at k=8, and O(1) vs O(k) in the mask phase, so the
-# advantage grows with k.
+# mask against ALL keys of a 32-key chunk is ONE variable shift —
+# ``1 << (v - lo)`` — instead of k compares (out-of-chunk values, including
+# v < lo via unsigned wraparound, saturate the shift to 0; see
+# :func:`shift_saturates` for the guard).  The per-key bitvectors then fall
+# out of a cross-vector bit-slice transpose: masks of values
+# {t, t+8, t+16, t+24} are packed into the four bytes of word X_t, and
+# three SWAPMOVE stages (the classic bit-matrix transpose, 12 swaps of 6
+# ops) turn X_0..X_7 directly into the eight per-key bitvector words — the
+# movemask/distribute phase of the reference (simd_scan.cpp:132,145) has no
+# analog left at all.  ~11 ops/value at k=8 (vs ~27 for the general
+# compare kernel) and ~0.7 ops/value/key asymptotically.
+#
+# Keys beyond 32 ride a second *grid* dimension (one 32-key chunk per grid
+# step) so the bits output block stays (32, tb, 128) regardless of k —
+# large k no longer forces tiny sublane tiles.  Values are unpacked once
+# into VMEM scratch on each block tile's first chunk and reused.
 
 
-def _t8_step(x, sh, m):
-    t = (x ^ (x >> jnp.uint32(sh))) & jnp.uint32(m)
-    return x ^ t ^ (t << jnp.uint32(sh))
+def _swapmove(a, b, m, s):
+    """Swap bits of ``a`` at positions p+s with bits of ``b`` at p (p in m)."""
+    t = ((a >> jnp.uint32(s)) ^ b) & jnp.uint32(m)
+    return a ^ (t << jnp.uint32(s)), b ^ t
 
 
-def _transpose8_pair(a, b):
-    """Bit-transpose an 8x8 matrix: input byte i of (a:rows 0-3, b:rows 4-7)
-    is row i (LSB-first); output byte j of (c, d) is column j."""
-    a = _t8_step(a, 7, 0x00AA00AA)
-    b = _t8_step(b, 7, 0x00AA00AA)
-    a = _t8_step(a, 14, 0x0000CCCC)
-    b = _t8_step(b, 14, 0x0000CCCC)
-    t = (a ^ ((a >> jnp.uint32(28)) | (b << jnp.uint32(4)))) & jnp.uint32(0xF0F0F0F0)
-    return a ^ t, b ^ (t >> jnp.uint32(4))
+def _transpose8x8_bytes(x):
+    """Bit-slice 8x8 transpose over four independent byte channels.
+
+    Input: 8 uint32 vectors; byte g, bit u of x[t] = M_g[t][u].
+    Output: 8 uint32 vectors; byte g, bit t of y[j] = M_g[t][j].
+    12 SWAPMOVEs = 72 vector ops, no cross-byte traffic."""
+    x = list(x)
+    for i in (0, 2, 4, 6):
+        x[i], x[i + 1] = _swapmove(x[i], x[i + 1], 0x55555555, 1)
+    for i in (0, 1, 4, 5):
+        x[i], x[i + 2] = _swapmove(x[i], x[i + 2], 0x33333333, 2)
+    for i in (0, 1, 2, 3):
+        x[i], x[i + 4] = _swapmove(x[i], x[i + 4], 0x0F0F0F0F, 4)
+    return x
 
 
-def _interval_scan_kernel(off_ref, lo_ref, in_ref, bits_ref, cnt_ref, *, width, k, tb, n):
+def _onehot32(d, gateless: bool):
+    """Match mask ``1 << d`` with bit j set iff d == j (0 for d >= 32).
+
+    The gateless form relies on vector shift-left saturating to zero for
+    amounts >= 32 — implementation-defined in HLO, verified per-backend by
+    :func:`shift_saturates`; the gated fallback costs one extra compare+
+    select per value."""
+    if gateless:
+        return jnp.uint32(1) << d
+    return jnp.where(
+        d < jnp.uint32(32),
+        jnp.uint32(1) << (d & jnp.uint32(31)),
+        jnp.uint32(0),
+    )
+
+
+def _mask_byte(m, c8: int, g: int):
+    """Byte ``c8`` of mask ``m``, placed at byte position ``g``."""
+    sh = 8 * (c8 - g)
+    if sh > 0:
+        m = m >> jnp.uint32(sh)
+    elif sh < 0:
+        m = m << jnp.uint32(-sh)
+    if abs(sh) == 24:  # the shift itself isolated the byte
+        return m
+    return m & jnp.uint32(0xFF << (8 * g))
+
+
+def _interval_scan_kernel(
+    off_ref, lo_ref, in_ref, bits_ref, cnt_ref, *scratch_refs,
+    width, tb, n, nchunks, krows, gateless,
+):
+    """Grid step (i, c): block tile i x key chunk c -> bits (krows, tb, 128).
+
+    krows = min(k, 32) keys per step; nchunks = ceil(k / 32)."""
     i = pl.program_id(0)
     full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
     row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
-    g = off_ref[0, 0] + (i * tb + row) * LANES + lane
+    blk = off_ref[0, 0] + (i * tb + row) * LANES + lane  # global block id
     valid = jnp.where(
-        g < full,
+        blk < full,
         jnp.uint32(0xFFFFFFFF),
-        jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
+        jnp.where(blk == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
     )
 
     lo = lo_ref[0, 0]
-    multi_chunk = k > 32
-    if multi_chunk:
-        # keys processed in 32-key chunks: retain the unpacked values
-        # (tb is small at large k so the live set stays modest)
-        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+    if nchunks > 1:
+        # unpack once per block tile into scratch; chunks (fast grid dim)
+        # reuse it — the input block is not re-fetched while i is unchanged.
+        c = pl.program_id(1)
+        scratch = scratch_refs[0]
 
-    for c0 in range(0, k, 32):
-        kc = min(32, k - c0)  # keys in this chunk: lo+c0 .. lo+c0+kc-1
-        lo_c = lo + jnp.uint32(c0)
-        # Per-value kc-bit match mask in ONE variable shift, no gate:
-        # XLA/Mosaic shift-left saturates to 0 for amounts >= 32 (verified
-        # on both TPU hardware and the CPU interpreter), so out-of-chunk
-        # values — including v < lo_c via unsigned wraparound — produce 0,
-        # and mask bits in [kc, 32) of a partial chunk are never read by
-        # the distribute loop below.
-        if multi_chunk:
-            ms = [jnp.uint32(1) << (v - lo_c) for v in vs]
-        else:
-            ms = [
-                jnp.uint32(1) << (v - lo_c)
-                for _, v in _unpack_block_values(in_ref, width)
-            ]
+        @pl.when(c == 0)
+        def _fill():
+            for r, v in _unpack_block_values(in_ref, width):
+                scratch[r] = v
 
-        nbytes_c = (kc + 7) // 8
-        words = [None] * kc
-        for c in range(nbytes_c):
-            for grp in range(4):  # 8 values per group
-                rows8 = [ms[8 * grp + t] for t in range(8)]
-                # byte-select (and clear the gateless mask's bits >= 8,
-                # which would otherwise alias into neighbouring rows)
-                if nbytes_c > 1:
-                    rows8 = [(x >> jnp.uint32(8 * c)) & jnp.uint32(0xFF) for x in rows8]
+        lo_c = lo + jnp.uint32(BLOCK_VALUES) * c.astype(jnp.uint32)
+        ms = [_onehot32(scratch[r] - lo_c, gateless) for r in range(BLOCK_VALUES)]
+    elif krows > 8:
+        # several rounds share the masks: materialize all 32
+        ms = [_onehot32(v - lo, gateless) for _, v in _unpack_block_values(in_ref, width)]
+    else:
+        ms = None  # single round: stream mask creation inside the X build
+
+    rounds = (krows + 7) // 8
+    for c8 in range(rounds):
+        x = []
+        for t in range(8):
+            acc = None
+            for g in range(4):
+                r = 8 * g + t
+                if ms is None:
+                    m = _onehot32(_unpack_value_at(in_ref, width, r) - lo, gateless)
                 else:
-                    rows8 = [x & jnp.uint32(0xFF) for x in rows8]
-                a = rows8[0] | (rows8[1] << 8) | (rows8[2] << 16) | (rows8[3] << 24)
-                b = rows8[4] | (rows8[5] << 8) | (rows8[6] << 16) | (rows8[7] << 24)
-                ct, dt = _transpose8_pair(a, b)
-                for j in range(min(8, kc - 8 * c)):
-                    src = ct if j < 4 else dt
-                    byte = (src >> jnp.uint32(8 * (j % 4))) & jnp.uint32(0xFF)
-                    contrib = byte << jnp.uint32(8 * grp)
-                    kj = 8 * c + j
-                    words[kj] = contrib if words[kj] is None else words[kj] | contrib
-
-        for j in range(kc):
-            w = words[j] & valid
-            bits_ref[c0 + j] = w
-            cnt_ref[0, c0 + j] = jnp.sum(
+                    m = ms[r]
+                mb = _mask_byte(m, c8, g)
+                acc = mb if acc is None else acc | mb
+            x.append(acc)
+        y = _transpose8x8_bytes(x)
+        for j in range(min(8, krows - 8 * c8)):
+            w = y[j] & valid
+            bits_ref[8 * c8 + j] = w
+            cnt_ref[0, 8 * c8 + j] = jnp.sum(
                 jax.lax.population_count(w).astype(jnp.int32), axis=0
             )
 
 
-@functools.partial(jax.jit, static_argnames=("width", "n", "k", "tb", "interpret"))
+# Per-backend cache for the vector-shift saturation canary.
+_SHIFT_SEMANTICS: dict[str, bool] = {}
+
+
+def _shift_canary_kernel(base_ref, a_ref, o_ref):
+    # base is an operand (all-ones), not a captured constant: Mosaic
+    # requires kernel-captured arrays to be passed as inputs.
+    o_ref[...] = base_ref[...] << a_ref[...]
+
+
+def shift_saturates(interpret: bool = False) -> bool:
+    """True iff the active backend's vector shift-left yields 0 for every
+    amount >= 32 (checked on amounts spanning [32, 2^32) including the
+    wraparound band just below 2^32).
+
+    HLO declares oversized shifts implementation-defined; the gateless
+    interval mask depends on saturate-to-zero, so this canary runs once per
+    backend and the kernels fall back to a gated mask (-1 compare+select
+    per value) if it ever fails after a compiler upgrade."""
+    backend = jax.default_backend() + ("/interpret" if interpret else "")
+    hit = _SHIFT_SEMANTICS.get(backend)
+    if hit is not None:
+        return hit
+    with jax.ensure_compile_time_eval():
+        ok = _run_shift_canary(interpret)
+    _SHIFT_SEMANTICS[backend] = ok
+    return ok
+
+
+def _run_shift_canary(interpret: bool) -> bool:
+    amounts = jnp.broadcast_to(
+        jnp.array(
+            [32, 33, 63, 64, 255, 1024, 1 << 20, 1 << 31,
+             (1 << 32) - 32, (1 << 32) - 24, (1 << 32) - 8, (1 << 32) - 1,
+             40, 96, 4096, 1 << 16],
+            jnp.uint32,
+        ).reshape(2, 8, 1),
+        (2, 8, LANES // 2),
+    ).reshape(8, LANES)
+    out = pl.pallas_call(
+        _shift_canary_kernel,
+        out_shape=jax.ShapeDtypeStruct((8, LANES), jnp.uint32),
+        interpret=interpret,
+    )(jnp.ones((8, LANES), jnp.uint32), amounts)
+    return bool(jax.device_get(jnp.all(out == 0)))
+
+
+def default_interval_tb(width: int, k: int) -> int:
+    """Default sublane tile for the interval kernel.
+
+    VMEM working set per sublane row (x512 B): double-buffered input
+    (2*width), bits out (2*krows), masks (32 when materialized, else ~8
+    transients), scratch (32 when chunked)."""
+    krows = min(k, 32)
+    if k > 32:
+        extra = 32 + 32 + 12  # scratch + masks + transients
+    elif k > 8:
+        extra = 32 + 12
+    else:
+        extra = 16
+    per_tb = 512 * (2 * width + 2 * krows + extra)
+    cap = max(8, (12_000_000 // per_tb) // 8 * 8)
+    return min(256, cap)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "k", "tb", "interpret", "gateless")
+)
+def _interval_scan_tiles_impl(
+    tiles, lo, k, width, n, tb, interpret, gateless, block_offset,
+):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    krows = min(k, 32)
+    nchunks = (k + krows - 1) // krows
+    kpad = nchunks * krows
+    tb = _pick_tb(b1, tb if tb is not None else default_interval_tb(width, k))
+    grid = (b1 // tb, nchunks)
+    lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(
+            _interval_scan_kernel,
+            width=width, tb=tb, n=n, nchunks=nchunks, krows=krows,
+            gateless=gateless,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((kpad, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (krows, tb, LANES), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, krows, LANES), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)]
+            if nchunks > 1
+            else []
+        ),
+        interpret=interpret,
+    )(off, lo2, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    if kpad != k:
+        bits, counts = bits[:k], counts[:k]
+    return bits, counts
+
+
 def interval_scan_tiles(
     tiles: jax.Array,
     lo: jax.Array,
@@ -360,47 +556,18 @@ def interval_scan_tiles(
     block_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """Shared scan against the k consecutive keys lo..lo+k-1 (k <= 1024;
-    keys handled in 32-wide chunks above k=32).
+    one 32-key chunk per grid step above k=32).
 
     Same output contract as :func:`shared_scan_tiles` with
-    keys = [lo, lo+1, ..., lo+k-1]."""
-    _, b1, lanes = tiles.shape
-    assert lanes == LANES
+    keys = [lo, lo+1, ..., lo+k-1]; counts are uint32."""
     if not (1 <= k <= 1024):
         raise ValueError(f"interval scan supports 1 <= k <= 1024, got {k}")
-    # measured on v5e at 512 MiB: k=8 best at tb=256 (516 GB/s), k=32 at
-    # tb=128 (545 GB/s).  Capped by the VMEM working set: 32 live per-r
-    # masks + double-buffered input blocks (width-dependent) + the
-    # (k, tb, 128) bits output block.
-    if tb is None:
-        tb = min(256, max(8, 4096 // k), _vmem_tb_cap(width, k, extra=36))
-    tb = _pick_tb(b1, tb)
-    grid = (b1 // tb,)
-    lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
-    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
-    bits, cnt = pl.pallas_call(
-        functools.partial(_interval_scan_kernel, width=width, k=k, tb=tb, n=n),
-        out_shape=(
-            jax.ShapeDtypeStruct((k, b1, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec(
-                (width, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=(
-            pl.BlockSpec(
-                (k, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        interpret=interpret,
-    )(off, lo2, tiles)
-    return bits, jnp.sum(cnt, axis=(0, 2))
+    # Canary runs eagerly (cached per backend) BEFORE tracing the kernel so
+    # the gateless/gated choice is a static specialization, never a traced op.
+    gateless = shift_saturates(interpret=interpret)
+    return _interval_scan_tiles_impl(
+        tiles, lo, k, width, n, tb, interpret, gateless, block_offset
+    )
 
 
 def interval_scan_device(
@@ -496,7 +663,7 @@ def range_scan_tiles(
         ),
         interpret=interpret,
     )(off, lohi, tiles)
-    return bits, jnp.sum(cnt, axis=(0, 2))
+    return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
 
 
 def range_scan_device(
@@ -607,4 +774,4 @@ def shared_scan_dynamic_tiles(
         scratch_shapes=[pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)],
         interpret=interpret,
     )(off, keys2, tiles)
-    return bits, jnp.sum(cnt, axis=(0, 2))
+    return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))

@@ -63,12 +63,17 @@ def _pick_tb(b1: int, tb: int | None) -> int:
 
 def _unpack_block_values(in_ref, width: int):
     """Yield (r, v_r) for one tile of blocks; v_r is (TB, LANES) uint32."""
-    mask = jnp.uint32((1 << width) - 1)
-    for r, (k, s, straddles) in enumerate(unpack_schedule(width)):
-        v = in_ref[k] >> jnp.uint32(s)
-        if straddles:
-            v = v | (in_ref[k + 1] << jnp.uint32(32 - s))
-        yield r, v & mask
+    for r in range(BLOCK_VALUES):
+        yield r, _unpack_value_at(in_ref, width, r)
+
+
+def _unpack_value_at(in_ref, width: int, r: int):
+    """Value r (0..31) of every block in the tile, (TB, LANES) uint32."""
+    k, s, straddles = unpack_schedule(width)[r]
+    v = in_ref[k] >> jnp.uint32(s)
+    if straddles:
+        v = v | (in_ref[k + 1] << jnp.uint32(32 - s))
+    return v & jnp.uint32((1 << width) - 1)
 
 
 def _unpack_kernel(in_ref, out_ref, *, width: int):

@@ -78,7 +78,7 @@ def shared_scan_tiles_xla(
             accs[j] = accs[j] | jnp.where(v == keys[j], bit, jnp.uint32(0))
     bits = jnp.stack([a & valid for a in accs])
     counts = jnp.sum(
-        jax.lax.population_count(bits).astype(jnp.int32), axis=(1, 2)
+        jax.lax.population_count(bits).astype(jnp.uint32), axis=(1, 2)
     )
     return bits, counts
 

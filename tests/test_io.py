@@ -38,3 +38,31 @@ def test_reject_wrong_kind(tmp_path):
 
     with pytest.raises(ValueError):
         io.load_bitvector(p)
+
+
+def test_load_truncated_column_raises(tmp_path):
+    import pytest
+    from shared_simd_scan_tpu import io as sss_io
+
+    rng = np.random.default_rng(3)
+    col = layout.pack(rng.integers(0, 512, 5_000, dtype=np.uint32), 9)
+    p = tmp_path / "col.sss"
+    sss_io.save_column(col, p)
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) - 100])  # truncate payload
+    with pytest.raises(ValueError, match="truncated"):
+        sss_io.load_column(p)
+
+
+def test_load_truncated_bitvector_raises(tmp_path):
+    import pytest
+    from shared_simd_scan_tpu import bitvector as bv
+    from shared_simd_scan_tpu import io as sss_io
+
+    bits = bv.from_bool(np.arange(10_000) % 3 == 0)
+    p = tmp_path / "bits.sss"
+    sss_io.save_bitvector(bits, 10_000, p)
+    data = p.read_bytes()
+    p.write_bytes(data[: len(data) - 10])
+    with pytest.raises(ValueError, match="truncated"):
+        sss_io.load_bitvector(p)

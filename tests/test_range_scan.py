@@ -90,3 +90,43 @@ def test_interval_default_tiles_fit_vmem_budget(width, k):
     working = 512 * (2 * width + 3 * k + 36) * tb
     assert working <= 12_000_000
     assert tb % 8 == 0 and tb >= 8
+
+
+def test_shift_saturation_canary_on_cpu():
+    # the gateless interval mask depends on shl saturating to 0 for
+    # amounts >= 32; the canary must confirm it on this backend (and be
+    # cached: second call hits the dict)
+    assert scan_ops.shift_saturates(interpret=True)
+    assert scan_ops.shift_saturates(interpret=True)
+
+
+@pytest.mark.parametrize("k", [5, 8, 40])
+def test_interval_gated_fallback_matches_gateless(k):
+    # the gated mask variant (used when the canary fails) must be
+    # bit-identical to the gateless one
+    width, n = 9, 20_000
+    vals, col = _col(width, n, seed=k + 3)
+    dev = layout.to_device(col)
+    lo = 30
+    b_gl, c_gl = scan_ops._interval_scan_tiles_impl(
+        dev.tiles, lo, k, width, n, None, True, True, 0
+    )
+    b_gt, c_gt = scan_ops._interval_scan_tiles_impl(
+        dev.tiles, lo, k, width, n, None, True, False, 0
+    )
+    np.testing.assert_array_equal(np.asarray(b_gl), np.asarray(b_gt))
+    np.testing.assert_array_equal(np.asarray(c_gl), np.asarray(c_gt))
+
+
+def test_interval_counts_are_uint32():
+    # per-key counts can exceed int32 at narrow widths; the public dtype
+    # is uint32 (wrap-correct to 2^32-1)
+    width, n, k = 9, 4_096, 8
+    vals, col = _col(width, n, seed=1)
+    dev = layout.to_device(col)
+    _, counts = scan_ops.interval_scan_device(dev, 0, k, interpret=True)
+    assert np.asarray(counts).dtype == np.uint32
+    _, counts2 = scan_ops.shared_scan_device(
+        dev, np.arange(k, dtype=np.uint32) * 3 % 512, interpret=True
+    )
+    assert np.asarray(counts2).dtype == np.uint32
