@@ -5,11 +5,20 @@ The reference's headline experiment (scripts/prepare_shared_scan_results.py
 runs the binary per k; we keep everything in one process so device data and
 compiled kernels are reused).  Benches, per k:
 
-  - the library dispatch path for consecutive predicates 0..k-1
-    (interval kernel for k<=32, general static kernel for k=1)
-  - the general arbitrary-key kernel (static for k<=32, dynamic above)
-  - per-predicate cost and "improvement vs k sequential single scans"
-    (the reference's figure: k predicates for ~1 pass of bandwidth)
+  - "pallas shared scan": the library dispatch path for consecutive
+    predicates 0..k-1 (general kernel at k=1, interval kernel for k>=2 —
+    matching scan._consecutive_lo's threshold)
+  - "pallas general-key shared scan": the arbitrary-key tier (static
+    unrolled kernel k<=32, 32-key-chunked static kernel above)
+  - "pallas dynamic-key shared scan": the non-unrolled fallback for
+    traced key arrays (powers of two only — it is not a dispatch path)
+  - "sequential shared scan (measured)": k separate single-predicate
+    passes, ACTUALLY TIMED (the analog of shared_scan_128_sequential,
+    src/benchmark.cpp:288-296) — not extrapolated from the k=1 time.
+
+k grid: every k in 1..8, then steps of 4 to 40 (the dispatch-boundary
+band), then a power-of-two-ish ladder to max-k — finer than round 1's
+powers-of-two, bounded by remote-compile cost per distinct k.
 
 Usage: python scripts/run_k_sweep.py [out.csv] [--data-size=64m]
            [--max-k=512] [--reps=3] [--width=9]
@@ -33,18 +42,13 @@ import jax.numpy as jnp  # noqa: E402
 from shared_simd_scan_tpu import layout  # noqa: E402
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
 from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402
-from shared_simd_scan_tpu.ops import scan as scan_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 
-@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
-def chain_dynamic(tiles, keys, salt, k, *, width, n, tb):
-    def body(i, acc):
-        kv = keys + ((salt + jnp.uint32(i)) << 16)
-        _, cnt = scan_ops.shared_scan_dynamic_tiles(tiles, kv, width, n, tb=tb)
-        return acc + cnt[0]
-
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+def sweep_ks(max_k: int) -> list[int]:
+    ks = list(range(1, 9)) + list(range(12, 41, 4)) + [48, 64, 96, 128, 192,
+                                                       256, 384, 512, 768, 1024]
+    return [k for k in ks if k <= max_k]
 
 
 def main(argv):
@@ -70,61 +74,57 @@ def main(argv):
     keys_full = jnp.arange(max(max_k, 1), dtype=jnp.uint32)
 
     rows = []
-    seq_ms = {}  # per-k cost of k sequential single-predicate scans
-
-    k = 1
-    while k <= max_k:
+    for k in sweep_ks(max_k):
         traffic = packed + k * layout.bitvector_words(n) * 4
-        est = traffic / 500e9
+        est = traffic / 550e9
 
         variants = []
         if k == 1:
             variants.append(("pallas shared scan",
                              functools.partial(harness.chain_shared_scan,
                                                width=width, n=n, tb=None),
-                             (dev.tiles, keys_full[:k])))
-        elif k <= 32:
-            variants.append(("pallas shared scan",
-                             functools.partial(harness.chain_interval_scan,
-                                               width=width, n=n, tb=None, kk=k),
-                             (dev.tiles,)))
-            variants.append(("pallas general-key shared scan",
-                             functools.partial(harness.chain_shared_scan,
-                                               width=width, n=n, tb=None),
-                             (dev.tiles, keys_full[:k])))
+                             (dev.tiles, keys_full[:k]), est))
         else:
             variants.append(("pallas shared scan",
                              functools.partial(harness.chain_interval_scan,
                                                width=width, n=n, tb=None, kk=k),
-                             (dev.tiles,)))
-            variants.append(("pallas general-key shared scan",
-                             functools.partial(chain_dynamic,
-                                               width=width, n=n, tb=None),
-                             (dev.tiles, keys_full[:k])))
+                             (dev.tiles,), est))
+            if k <= 32:
+                variants.append(("pallas general-key shared scan",
+                                 functools.partial(harness.chain_shared_scan,
+                                                   width=width, n=n, tb=None),
+                                 (dev.tiles, keys_full[:k]), est))
+            else:
+                variants.append(("pallas general-key shared scan",
+                                 functools.partial(harness.chain_chunked_shared_scan,
+                                                   width=width, n=n, tb=None),
+                                 (dev.tiles, keys_full[:k]), est))
+                if k & (k - 1) == 0:  # powers of two only: not a dispatch path
+                    variants.append(("pallas dynamic-key shared scan",
+                                     functools.partial(
+                                         harness.chain_dynamic_shared_scan,
+                                         width=width, n=n, tb=None),
+                                     (dev.tiles, keys_full[:k]), traffic / 150e9))
+        # measured sequential baseline: k full single-predicate passes
+        seq_traffic = k * (packed + layout.bitvector_words(n) * 4)
+        variants.append(("sequential shared scan (measured)",
+                         functools.partial(harness.chain_sequential_shared_scan,
+                                           width=width, n=n, tb=None, kk=k),
+                         (dev.tiles,), seq_traffic / 650e9))
 
-        for name, fn, args in variants:
+        for name, fn, args, est_i in variants:
             try:
-                m = measure_loop(fn, args, trials=reps, est_iter_s=est)
+                m = measure_loop(fn, args, trials=reps, est_iter_s=est_i)
             except Exception as e:  # keep sweeping past one bad configuration
                 print(f"k={k:4d} {name}: FAILED {type(e).__name__}: {str(e)[:200]}",
                       flush=True)
                 continue
-            gbs = traffic / m.seconds / 1e9
+            t = seq_traffic if name.startswith("sequential") else traffic
+            gbs = t / m.seconds / 1e9
             rows.append({"k": k, "name": name, "avg_ms": round(m.millis, 6),
                          "gb_per_s": round(gbs, 1)})
             print(f"k={k:4d} {name}: {m.millis:.3f} ms  {gbs:.0f} GB/s",
                   flush=True)
-            if k == 1 and name == "pallas shared scan":
-                seq_ms[1] = m.millis
-        k *= 2
-
-    # sequential baseline: k x the single-scan time (the reference's
-    # shared_scan_128_sequential is exactly k repeated single scans)
-    if 1 in seq_ms:
-        for kk in sorted({row["k"] for row in rows}):
-            rows.append({"k": kk, "name": "sequential baseline (k x single scan)",
-                         "avg_ms": round(seq_ms[1] * kk, 6),
-                         "gb_per_s": ""})
 
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=["k", "name", "avg_ms", "gb_per_s"])

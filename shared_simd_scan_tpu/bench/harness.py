@@ -159,6 +159,35 @@ def chain_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
+def chain_sequential_shared_scan(tiles, salt, k, *, width, n, tb, kk):
+    """The MEASURED sequential shared-scan baseline: kk separate
+    single-predicate passes over the column per iteration — the actual
+    timed analog of shared_scan_128_sequential (src/simd_scan_shared.cpp:
+    9-23, timed at src/benchmark.cpp:288-296), not a k x single-scan
+    extrapolation.  Keys vary per iteration via the salt."""
+    def body(i, acc):
+        def key_body(j, a):
+            kv = (((salt + jnp.uint32(i)) << jnp.uint32(8))
+                  + j.astype(jnp.uint32)).reshape(1)
+            _, cnt = scan_ops.shared_scan_tiles(tiles, kv, width, n, tb=tb)
+            return a + cnt[0]
+
+        return jax.lax.fori_loop(0, kk, key_body, acc)
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
+def chain_chunked_shared_scan(tiles, keys, salt, k, *, width, n, tb):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = scan_ops.shared_scan_chunked_tiles(tiles, kv, width, n, tb=tb)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
 def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     def body(i, acc):

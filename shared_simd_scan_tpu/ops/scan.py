@@ -201,16 +201,17 @@ def bits_to_canonical(bits: jax.Array, n: int) -> jax.Array:
 def _consecutive_lo(keys) -> int | None:
     """lo if keys are the concrete consecutive run lo..lo+k-1.
 
-    Threshold k >= 4: below that the general static kernel measures
-    faster than the interval kernel's fixed transpose cost (v5e sweep
-    after the gateless-mask optimization)."""
+    Threshold k >= 2: with the SWAPMOVE transpose the interval kernel
+    beats the general compare kernel from k=2 up (v5e, 64 MiB: 610 vs
+    547 GB/s at k=2); only the single-key scan stays on the general
+    kernel (634 vs ~600)."""
     import numpy as np
 
     if isinstance(keys, jax.core.Tracer):
         return None
     arr = np.asarray(keys)
     k = arr.shape[0]
-    if not (4 <= k <= 1024):
+    if not (2 <= k <= 1024):
         return None
     lo = int(arr[0])
     return lo if (arr == lo + np.arange(k, dtype=arr.dtype)).all() else None
@@ -233,9 +234,9 @@ def shared_scan_device(
             tb=tb, interpret=interpret,
         )
     elif int(keys.shape[0]) > 32:
-        # large arbitrary key sets: non-unrolled kernel (compile time of
-        # the static kernel grows with 32*k unrolled vector ops)
-        bits, counts = shared_scan_dynamic_tiles(
+        # large arbitrary key sets: 32-key-chunked static kernel (static
+        # 32x32 compare block per grid step, any k, keys may be traced)
+        bits, counts = shared_scan_chunked_tiles(
             dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
         )
     else:
@@ -282,6 +283,7 @@ def popcount_bits(bits: jax.Array) -> jax.Array:
 
 __all__ = [
     "shared_scan_tiles",
+    "shared_scan_chunked_tiles",
     "shared_scan_device",
     "scan_device",
     "shared_scan_linear_device",
@@ -374,15 +376,6 @@ def _interval_scan_kernel(
     krows = min(k, 32) keys per step; nchunks = ceil(k / 32)."""
     i = pl.program_id(0)
     full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
-    row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
-    blk = off_ref[0, 0] + (i * tb + row) * LANES + lane  # global block id
-    valid = jnp.where(
-        blk < full,
-        jnp.uint32(0xFFFFFFFF),
-        jnp.where(blk == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
-    )
-
     lo = lo_ref[0, 0]
     if nchunks > 1:
         # unpack once per block tile into scratch; chunks (fast grid dim)
@@ -404,6 +397,7 @@ def _interval_scan_kernel(
         ms = None  # single round: stream mask creation inside the X build
 
     rounds = (krows + 7) // 8
+    ys = []
     for c8 in range(rounds):
         x = []
         for t in range(8):
@@ -417,13 +411,37 @@ def _interval_scan_kernel(
                 mb = _mask_byte(m, c8, g)
                 acc = mb if acc is None else acc | mb
             x.append(acc)
-        y = _transpose8x8_bytes(x)
-        for j in range(min(8, krows - 8 * c8)):
-            w = y[j] & valid
-            bits_ref[8 * c8 + j] = w
-            cnt_ref[0, 8 * c8 + j] = jnp.sum(
-                jax.lax.population_count(w).astype(jnp.int32), axis=0
+        ys.append(_transpose8x8_bytes(x))
+
+    def _store(masked: bool):
+        if masked:
+            row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+            blk = off_ref[0, 0] + (i * tb + row) * LANES + lane  # global block id
+            valid = jnp.where(
+                blk < full,
+                jnp.uint32(0xFFFFFFFF),
+                jnp.where(
+                    blk == full,
+                    jnp.uint32((1 << rem) - 1 if rem else 0),
+                    jnp.uint32(0),
+                ),
             )
+        for c8 in range(rounds):
+            for j in range(min(8, krows - 8 * c8)):
+                w = ys[c8][j] & valid if masked else ys[c8][j]
+                bits_ref[8 * c8 + j] = w
+                cnt_ref[0, 8 * c8 + j] = jnp.sum(
+                    jax.lax.population_count(w).astype(jnp.int32), axis=0
+                )
+
+    # Only the grid step containing the first padding block needs the
+    # validity mask (padding blocks are zero-filled and key 0 of a chunk
+    # could otherwise match them); every other step stores unmasked.
+    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
+    needs_mask = tile_end > full
+    pl.when(needs_mask)(lambda: _store(True))
+    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
 
 
 # Per-backend cache for the vector-shift saturation canary.
@@ -775,3 +793,127 @@ def shared_scan_dynamic_tiles(
         interpret=interpret,
     )(off, keys2, tiles)
     return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+
+
+# ---------------------------------------------------------------------------
+# Chunked static shared scan: arbitrary concrete keys, any k, 32-key grid
+# chunks
+# ---------------------------------------------------------------------------
+#
+# The fast tier for large arbitrary key sets — the full TPU analog of the
+# reference's every-k compile-time template family
+# (shared_scan_128_linear_static<NUM> up to 1024, simd_scan.hpp:122-236,
+# simd_scan_shared_linear.cpp:66-78).  Like the interval kernel, key chunks
+# of 32 ride a second grid dimension with values unpacked once per block
+# tile into VMEM scratch, so the kernel body is a fully static 32x32
+# unrolled compare block regardless of k: O(1) code size in k (one chunk
+# compiled once, stepped nchunks times), no dynamic VMEM indexing (the
+# dynamic-k kernel's weakness), and the bits output block stays
+# (32, tb, 128) at any k.  Keys are padded to a 32-multiple with the
+# unmatchable sentinel 0xFFFFFFFF (values are < 2^width <= 2^31).
+
+
+def _shared_scan_chunked_kernel(
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, scratch, *, width, tb, n
+):
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+
+    @pl.when(c == 0)
+    def _fill():
+        for r, v in _unpack_block_values(in_ref, width):
+            scratch[r] = v
+
+    accs = [jnp.zeros((tb, LANES), jnp.uint32) for _ in range(32)]
+    for r in range(BLOCK_VALUES):
+        v = scratch[r]
+        bit = jnp.uint32(1 << r)
+        for j in range(32):
+            accs[j] = accs[j] | jnp.where(v == keys_ref[j, 0], bit, jnp.uint32(0))
+
+    def _store(masked: bool):
+        if masked:
+            row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+            blk = off_ref[0, 0] + (i * tb + row) * LANES + lane
+            valid = jnp.where(
+                blk < full,
+                jnp.uint32(0xFFFFFFFF),
+                jnp.where(
+                    blk == full,
+                    jnp.uint32((1 << rem) - 1 if rem else 0),
+                    jnp.uint32(0),
+                ),
+            )
+        for j in range(32):
+            w = accs[j] & valid if masked else accs[j]
+            bits_ref[j] = w
+            cnt_ref[0, j] = jnp.sum(
+                jax.lax.population_count(w).astype(jnp.int32), axis=0
+            )
+
+    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
+    needs_mask = tile_end > full
+    pl.when(needs_mask)(lambda: _store(True))
+    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
+def shared_scan_chunked_tiles(
+    tiles: jax.Array,
+    keys: jax.Array,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Same contract as shared_scan_tiles for any k (keys need not be
+    consecutive); keys are processed in 32-wide chunks on a second grid
+    dimension.  Preferred over shared_scan_dynamic_tiles whenever k > 32."""
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = int(keys.shape[0])
+    nchunks = (k + 31) // 32
+    kpad = nchunks * 32
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    if kpad != k:
+        keys2 = jnp.concatenate(
+            [keys2, jnp.full((kpad - k, 1), 0xFFFFFFFF, jnp.uint32)], axis=0
+        )
+    # scratch (32) + accs (32) + double-buffered in/out blocks
+    per_tb = 512 * (2 * width + 2 * 32 + 32 + 32 + 8)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb, nchunks)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(_shared_scan_chunked_kernel, width=width, tb=tb, n=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((kpad, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((32, 1), lambda i, c: (c, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (32, tb, LANES), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 32, LANES), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(off, keys2, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    if kpad != k:
+        bits, counts = bits[:k], counts[:k]
+    return bits, counts

@@ -145,3 +145,36 @@ def test_shared_scan_device_dispatch_large_k():
     bits, counts = scan_ops.shared_scan_device(dev, keys, interpret=True)
     for j in range(k):
         assert int(counts[j]) == int((vals == keys[j]).sum())
+
+
+@pytest.mark.parametrize("k", [33, 64, 100, 256])
+def test_chunked_shared_scan_parity(k):
+    # arbitrary (non-consecutive) keys through the 32-key-chunked static
+    # kernel, cross-checked against the oracle
+    width, n = 9, 50_000
+    vals = _rand_column(width, n, seed=k)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    keys = (np.arange(k, dtype=np.uint32) * 11 + 5) % (1 << width)
+    bits, counts = scan_ops.shared_scan_chunked_tiles(
+        dev.tiles, jnp.asarray(keys), width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_chunked_dispatch_used_above_32():
+    # shared_scan_device must route k>32 arbitrary keys via the chunked
+    # kernel and still match the oracle
+    width, n, k = 7, 20_000, 40
+    vals = _rand_column(width, n, seed=9)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    keys = (np.arange(k, dtype=np.uint32) * 3 + 1) % (1 << width)
+    bits, counts = scan_ops.shared_scan_device(dev, keys, interpret=True)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))

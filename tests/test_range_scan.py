@@ -80,15 +80,20 @@ def test_interval_scan_large_k_chunked():
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
 
 
-@pytest.mark.parametrize("width,k", [(25, 8), (31, 32), (9, 512)])
+@pytest.mark.parametrize("width,k", [(25, 8), (31, 32), (9, 512), (31, 1024)])
 def test_interval_default_tiles_fit_vmem_budget(width, k):
     # the default tile choice must keep the kernel's working set within
     # the documented VMEM budget (width-25 k-8 OOM'd before the cap)
-    from shared_simd_scan_tpu.ops.scan import _vmem_tb_cap
+    from shared_simd_scan_tpu.ops.scan import default_interval_tb
 
-    tb = min(256, max(8, 4096 // k), _vmem_tb_cap(width, k, extra=36))
-    working = 512 * (2 * width + 3 * k + 36) * tb
-    assert working <= 12_000_000
+    tb = default_interval_tb(width, k)
+    krows = min(k, 32)
+    # independent accounting: double-buffered input + bits out, scratch
+    # and masks when chunked/multi-round, X vectors + transients
+    scratch = 32 if k > 32 else 0
+    masks = 32 if krows > 8 else 8
+    live = 512 * tb * (2 * width + 2 * krows + scratch + masks + 8)
+    assert live <= 13_000_000
     assert tb % 8 == 0 and tb >= 8
 
 
