@@ -26,15 +26,22 @@
 #include <omp.h>
 #endif
 
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
+
 extern "C" {
 
 // ---------------------------------------------------------------------------
 // pack: values[n] -> out bitstream (caller allocates >= (n*width+7)/8 + 8 B)
+//
+// 64-bit accumulator flushed in whole 32-bit units (a full 64-value chunk
+// is exactly 8*width bytes = 2*width flushes, so chunks never overlap and
+// no pre-zeroing pass is needed) — ~8x fewer stores than the byte-at-a-
+// time form.
 // ---------------------------------------------------------------------------
 void sss_pack(const uint32_t* values, uint64_t n, int width, uint8_t* out) {
   const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
-  const uint64_t nbytes = (n * (uint64_t)width + 7) / 8;
-  std::memset(out, 0, nbytes);
   // chunk = 64 values: 64*width bits is a whole number of bytes (8*width).
   const uint64_t chunk = 64;
   const int64_t nchunks = (int64_t)((n + chunk - 1) / chunk);
@@ -48,21 +55,37 @@ void sss_pack(const uint32_t* values, uint64_t n, int width, uint8_t* out) {
     for (uint64_t i = lo; i < hi; ++i) {
       acc |= (uint64_t)(values[i] & mask) << acc_bits;
       acc_bits += width;
-      while (acc_bits >= 8) {
-        *p++ = (uint8_t)acc;
-        acc >>= 8;
-        acc_bits -= 8;
+      if (acc_bits >= 32) {  // width <= 31 so one flush always suffices
+        uint32_t w32 = (uint32_t)acc;
+        std::memcpy(p, &w32, 4);
+        p += 4;
+        acc >>= 32;
+        acc_bits -= 32;
       }
     }
-    if (acc_bits > 0) *p = (uint8_t)acc;  // tail bits of the final chunk
+    while (acc_bits > 0) {  // tail bits of the final (partial) chunk
+      *p++ = (uint8_t)acc;
+      acc >>= 8;
+      acc_bits -= 8;
+    }
   }
 }
 
 // ---------------------------------------------------------------------------
 // unpack: bitstream -> values[n]
+//
+// AVX2 fast path (widths <= 25): per 8-value group the byte offset and
+// bit shift of each value are fixed ((j*width)>>3, (j*width)&7), so the
+// group is one 8-lane 32-bit gather + variable right shift + AND — the
+// reference's own AVX2 formulation (decompress_256_avx2,
+// src/simd_scan_decompression.cpp:427-470) applied to this layout, with
+// the gather replacing its unaligned broadcast load.  Widths 26..31 can
+// span 5 bytes after the shift and take the 64-bit-accumulator path with
+// whole-uint32 refills.
 // ---------------------------------------------------------------------------
 void sss_unpack(const uint8_t* packed, uint64_t n, int width, uint32_t* out) {
   const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
+  const uint64_t nbytes = (n * (uint64_t)width + 7) / 8;
   const uint64_t chunk = 64;
   const int64_t nchunks = (int64_t)((n + chunk - 1) / chunk);
 #pragma omp parallel for schedule(static)
@@ -70,12 +93,47 @@ void sss_unpack(const uint8_t* packed, uint64_t n, int width, uint32_t* out) {
     const uint64_t lo = (uint64_t)c * chunk;
     const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
     const uint8_t* p = packed + lo * width / 8;
+#if defined(__AVX2__)
+    // safe iff every gather stays inside the buffer: last group's last
+    // lane reads 4 bytes at base + 7*width/8
+    if (width <= 25 && hi - lo == 64 &&
+        lo * width / 8 + 7 * (uint64_t)width + ((7 * width) >> 3) + 4 <= nbytes) {
+      const __m256i voff = _mm256_setr_epi32(
+          0, (1 * width) >> 3, (2 * width) >> 3, (3 * width) >> 3,
+          (4 * width) >> 3, (5 * width) >> 3, (6 * width) >> 3,
+          (7 * width) >> 3);
+      const __m256i vsh = _mm256_setr_epi32(
+          0, (1 * width) & 7, (2 * width) & 7, (3 * width) & 7,
+          (4 * width) & 7, (5 * width) & 7, (6 * width) & 7, (7 * width) & 7);
+      const __m256i vmask = _mm256_set1_epi32((int)mask);
+      for (int g = 0; g < 8; ++g) {
+        const uint8_t* base = p + (uint64_t)g * width;  // 8 values = width bytes
+        __m256i x = _mm256_i32gather_epi32((const int*)base, voff, 1);
+        x = _mm256_srlv_epi32(x, vsh);
+        x = _mm256_and_si256(x, vmask);
+        _mm256_storeu_si256((__m256i*)(out + lo + 8 * (uint64_t)g), x);
+      }
+      continue;
+    }
+#endif
     uint64_t acc = 0;
     int acc_bits = 0;
+    const uint8_t* pend = packed + nbytes;
     for (uint64_t i = lo; i < hi; ++i) {
-      while (acc_bits < width) {
-        acc |= (uint64_t)(*p++) << acc_bits;
-        acc_bits += 8;
+      if (acc_bits < width) {
+        if (p + 4 <= pend) {  // whole-uint32 refill
+          uint32_t x;
+          std::memcpy(&x, p, 4);
+          acc |= (uint64_t)x << acc_bits;
+          p += 4;
+          acc_bits += 32;
+        } else {
+          while (acc_bits < width && p < pend) {
+            acc |= (uint64_t)(*p++) << acc_bits;
+            acc_bits += 8;
+          }
+          acc_bits = acc_bits < width ? width : acc_bits;  // zero padding
+        }
       }
       out[i] = (uint32_t)acc & mask;
       acc >>= width;

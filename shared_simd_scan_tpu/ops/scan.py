@@ -463,6 +463,8 @@ def shift_saturates(interpret: bool = False) -> bool:
     interval mask depends on saturate-to-zero, so this canary runs once per
     backend and the kernels fall back to a gated mask (-1 compare+select
     per value) if it ever fails after a compiler upgrade."""
+    if jax.default_backend() == "cpu":
+        interpret = True  # compiled Pallas does not exist on the CPU backend
     backend = jax.default_backend() + ("/interpret" if interpret else "")
     hit = _SHIFT_SEMANTICS.get(backend)
     if hit is not None:
