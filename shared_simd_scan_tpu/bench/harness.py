@@ -456,8 +456,9 @@ def bench_shared_scan(
     keys = jnp.arange(k, dtype=jnp.uint32)
     roof = hbm_peak_bytes_per_s()
     traffic = packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
-    # static unrolled kernel up to k=32; dynamic (non-unrolled) above —
-    # mirrors the library dispatch and keeps compile times sane
+    # static unrolled kernel up to k=32; 32-key-chunked static kernel
+    # above (the dynamic non-unrolled kernel is benched as a labeled
+    # fallback, not a dispatch path) — mirrors the library dispatch
     if k <= 32:
         variants = [
             (
@@ -472,12 +473,19 @@ def bench_shared_scan(
     else:
         variants = [
             (
-                f"pallas dynamic shared scan k={k}",
+                f"pallas chunked shared scan k={k}",
+                chain_chunked_shared_scan,
+                (dev.tiles, keys),
+                dict(width=width, n=n, tb=None),
+                traffic,
+            ),
+            (
+                f"pallas dynamic shared scan k={k} (traced-keys fallback)",
                 chain_dynamic_shared_scan,
                 (dev.tiles, keys),
                 dict(width=width, n=n, tb=None),
                 traffic,
-            )
+            ),
         ]
     if k <= 1024:
         variants.append(
@@ -489,6 +497,19 @@ def bench_shared_scan(
                 traffic,
             )
         )
+    # measured sequential baseline (B5's shared_scan_128_sequential,
+    # src/benchmark.cpp:288-296): k actual single-predicate passes
+    seq_traffic = k * (packed_nbytes(width, n) + layout.bitvector_words(n) * 4)
+    variants.append(
+        (
+            f"sequential shared scan k={k} ({k} single passes)",
+            chain_sequential_shared_scan,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, kk=k),
+            seq_traffic,
+            dict(est_iter_s=seq_traffic / 650e9),
+        )
+    )
     variants.append(
         (
             f"xla fused shared scan k={k}",
