@@ -52,7 +52,8 @@ def ops_per_value(name: str, k: int, width: int, cache: dict) -> float | None:
                 lambda x, kk: scan_ops.shared_scan_tiles(x, kk, width, n), t, keys)
             ops = c["per_value"]
         else:
-            nchunks = (k + 31) // 32 if k > 32 else 1
+            krows = scan_ops._interval_krows(k)
+            nchunks = (k + krows - 1) // krows
             c = count_vector_ops(
                 lambda x: scan_ops.interval_scan_tiles(x, 0, k, width, n), t)
             ops = c["per_value"] * nchunks
@@ -62,7 +63,8 @@ def ops_per_value(name: str, k: int, width: int, cache: dict) -> float | None:
                 lambda x, kk: scan_ops.shared_scan_tiles(x, kk, width, n), t, keys)
             ops = c["per_value"]
         else:
-            nchunks = (k + 31) // 32
+            krows = scan_ops._interval_krows(k)
+            nchunks = (k + krows - 1) // krows
             c = count_vector_ops(
                 lambda x, kk: scan_ops.shared_scan_chunked_tiles(
                     x, kk, width, n), t, keys)

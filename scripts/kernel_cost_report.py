@@ -69,12 +69,13 @@ def configs(width: int, ks: list[int]):
                        lambda x, kk: scan_ops.shared_scan_tiles(
                            x, kk, width, n), t, keys))
         else:
-            nchunks = (k + 31) // 32
+            nchunks = (k + scan_ops._interval_krows(k) - 1) // scan_ops._interval_krows(k)
             yield (f"shared scan k={k} (chunked general keys)", io, nchunks,
                    lambda keys=keys: count_vector_ops(
                        lambda x, kk: scan_ops.shared_scan_chunked_tiles(
                            x, kk, width, n), t, keys))
-        nchunks = (k + 31) // 32 if k > 32 else 1
+        nchunks = ((k + scan_ops._interval_krows(k) - 1)
+                   // scan_ops._interval_krows(k)) if k > 32 else 1
         yield (f"shared scan k={k} (interval keys)", io, nchunks,
                lambda k=k: count_vector_ops(
                    lambda x: scan_ops.interval_scan_tiles(

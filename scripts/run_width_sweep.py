@@ -7,8 +7,14 @@ sweep pins down the performance claim across the range (the cost model
 says unpack stays HBM-bound at every width; shared scans shift with
 traffic per value).
 
+Every width row is VERIFIED after timing (counts over the full column
+vs a direct jnp compare; bitvector bytes vs the gather oracle on a
+2M-value prefix).  The default width list includes the even widths
+(2, 4, 8, 16, 24) whose mask-period family the reference's generic mask
+generators get wrong (SURVEY.md §5 "do not replicate"), plus width 1.
+
 Usage: python scripts/run_width_sweep.py [out.csv] [--data-size=64m]
-           [--widths=3,5,9,13,17,25,31] [--k=8] [--reps=2]
+           [--widths=1,2,3,4,5,8,9,13,16,17,24,25,31] [--k=8] [--reps=2]
 """
 from __future__ import annotations
 
@@ -35,7 +41,8 @@ from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 def main(argv):
     out_path, data_size, widths, k, reps = (
-        "width_sweep_results.csv", "64m", [3, 5, 9, 13, 17, 25, 31], 8, 2,
+        "width_sweep_results.csv", "64m",
+        [1, 2, 3, 4, 5, 8, 9, 13, 16, 17, 24, 25, 31], 8, 2,
     )
     for a in argv:
         if a.startswith("--data-size="):
@@ -81,8 +88,39 @@ def main(argv):
         print(f"w={width:2d} shared k={k}: {m.millis:.3f} ms "
               f"{tr_s / m.seconds / 1e9:.0f} GB/s", flush=True)
 
+        # post-timing verification (reference pattern, benchmark.cpp:70):
+        # counts over the FULL column + bitvector bytes vs the gather
+        # oracle on a 2M-value prefix
+        from shared_simd_scan_tpu.ops import oracle, scan as scan_ops
+
+        kk_v = min(k, 1 << width)
+        vals = harness.synth_modk(n, k, width)
+        bits, counts = scan_ops.interval_scan_device(dev, 0, kk_v)
+        expect = jnp.sum(
+            vals[None, :] == jnp.arange(kk_v, dtype=jnp.uint32)[:, None],
+            axis=1, dtype=jnp.uint32,
+        )
+        ok = bool(jnp.all(counts == expect))
+        if ok:
+            n_chk = min(n, 2_000_000)
+            col_chk = layout.pack(vals[:n_chk], width)
+            obits, _ = oracle.shared_scan_words(
+                col_chk.words, jnp.arange(kk_v, dtype=jnp.uint32), width, n_chk)
+            w_chk = layout.bitvector_words(n_chk)
+            gb = bits[:, :w_chk]
+            if n_chk % 32:
+                tail = jnp.uint32((1 << (n_chk % 32)) - 1)
+                gb = gb.at[:, -1].multiply(0).at[:, -1].add(
+                    bits[:, w_chk - 1] & tail)
+            ok = bool(jnp.all(gb == obits))
+        del vals
+        rows[-1]["verified"] = "ok" if ok else "FAILED"
+        print(f"w={width:2d} verify: {'ok' if ok else 'FAILED'}", flush=True)
+
     with open(out_path, "w", newline="") as f:
-        w = csv.DictWriter(f, fieldnames=["width", "op", "avg_ms", "gb_per_s"])
+        w = csv.DictWriter(
+            f, fieldnames=["width", "op", "avg_ms", "gb_per_s", "verified"]
+        )
         w.writeheader()
         for r in rows:
             w.writerow(r)

@@ -373,7 +373,8 @@ def _interval_scan_kernel(
 ):
     """Grid step (i, c): block tile i x key chunk c -> bits (krows, tb, 128).
 
-    krows = min(k, 32) keys per step; nchunks = ceil(k / 32)."""
+    krows keys per chunk step (the largest of 32/16/8 dividing k, so
+    output padding never exceeds 7 rows); nchunks = ceil(k / krows)."""
     i = pl.program_id(0)
     full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
     lo = lo_ref[0, 0]
@@ -388,27 +389,44 @@ def _interval_scan_kernel(
             for r, v in _unpack_block_values(in_ref, width):
                 scratch[r] = v
 
-        lo_c = lo + jnp.uint32(BLOCK_VALUES) * c.astype(jnp.uint32)
-        ms = [_onehot32(scratch[r] - lo_c, gateless) for r in range(BLOCK_VALUES)]
+        lo_c = lo + jnp.uint32(krows) * c.astype(jnp.uint32)
+        ms_windows = [
+            [_onehot32(scratch[r] - lo_c, gateless) for r in range(BLOCK_VALUES)]
+        ]
+        stream = False
     elif krows > 8:
-        # several rounds share the masks: materialize all 32
-        ms = [_onehot32(v - lo, gateless) for _, v in _unpack_block_values(in_ref, width)]
+        # one grid chunk, possibly several 32-key mask windows (krows up
+        # to 48): values unpacked once, one mask set per window
+        nwin = (krows + 31) // 32
+        if nwin == 1:
+            ms_windows = [
+                [_onehot32(v - lo, gateless)
+                 for _, v in _unpack_block_values(in_ref, width)]
+            ]
+        else:
+            vs = [v for _, v in _unpack_block_values(in_ref, width)]
+            ms_windows = [
+                [_onehot32(v - (lo + jnp.uint32(32 * w)), gateless) for v in vs]
+                for w in range(nwin)
+            ]
+        stream = False
     else:
-        ms = None  # single round: stream mask creation inside the X build
+        stream = True  # single round: stream mask creation inside the X build
 
     rounds = (krows + 7) // 8
     ys = []
     for c8 in range(rounds):
+        win, byte = c8 // 4, c8 % 4
         x = []
         for t in range(8):
             acc = None
             for g in range(4):
                 r = 8 * g + t
-                if ms is None:
+                if stream:
                     m = _onehot32(_unpack_value_at(in_ref, width, r) - lo, gateless)
                 else:
-                    m = ms[r]
-                mb = _mask_byte(m, c8, g)
+                    m = ms_windows[win][r]
+                mb = _mask_byte(m, byte, g)
                 acc = mb if acc is None else acc | mb
             x.append(acc)
         ys.append(_transpose8x8_bytes(x))
@@ -493,13 +511,32 @@ def _run_shift_canary(interpret: bool) -> bool:
     return bool(jax.device_get(jnp.all(out == 0)))
 
 
+def _interval_krows(k: int) -> int:
+    """Keys per chunk step.
+
+    k <= 32: one exact chunk.  33..48: still ONE chunk (rows padded to a
+    multiple of 8; the kernel uses a second 32-key mask window for rounds
+    beyond 4) — measured much faster than splitting into chunks, whose
+    extra grid steps and per-chunk mask recompute dominate at small k.
+    Beyond 48: the largest of 32/16/8 dividing k (else 8, padding the
+    last chunk by at most 7 rows)."""
+    if k <= 32:
+        return k
+    if k <= 48:
+        return ((k + 7) // 8) * 8
+    for g in (32, 16, 8):
+        if k % g == 0:
+            return g
+    return 8
+
+
 def default_interval_tb(width: int, k: int) -> int:
     """Default sublane tile for the interval kernel.
 
     VMEM working set per sublane row (x512 B): double-buffered input
     (2*width), bits out (2*krows), masks (32 when materialized, else ~8
     transients), scratch (32 when chunked)."""
-    krows = min(k, 32)
+    krows = _interval_krows(k)
     if k > 32:
         extra = 32 + 32 + 12  # scratch + masks + transients
     elif k > 8:
@@ -519,7 +556,7 @@ def _interval_scan_tiles_impl(
 ):
     _, b1, lanes = tiles.shape
     assert lanes == LANES
-    krows = min(k, 32)
+    krows = _interval_krows(k)
     nchunks = (k + krows - 1) // krows
     kpad = nchunks * krows
     tb = _pick_tb(b1, tb if tb is not None else default_interval_tb(width, k))
@@ -816,7 +853,7 @@ def shared_scan_dynamic_tiles(
 
 
 def _shared_scan_chunked_kernel(
-    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, scratch, *, width, tb, n
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, scratch, *, width, tb, n, krows
 ):
     i = pl.program_id(0)
     c = pl.program_id(1)
@@ -827,11 +864,11 @@ def _shared_scan_chunked_kernel(
         for r, v in _unpack_block_values(in_ref, width):
             scratch[r] = v
 
-    accs = [jnp.zeros((tb, LANES), jnp.uint32) for _ in range(32)]
+    accs = [jnp.zeros((tb, LANES), jnp.uint32) for _ in range(krows)]
     for r in range(BLOCK_VALUES):
         v = scratch[r]
         bit = jnp.uint32(1 << r)
-        for j in range(32):
+        for j in range(krows):
             accs[j] = accs[j] | jnp.where(v == keys_ref[j, 0], bit, jnp.uint32(0))
 
     def _store(masked: bool):
@@ -848,7 +885,7 @@ def _shared_scan_chunked_kernel(
                     jnp.uint32(0),
                 ),
             )
-        for j in range(32):
+        for j in range(krows):
             w = accs[j] & valid if masked else accs[j]
             bits_ref[j] = w
             cnt_ref[0, j] = jnp.sum(
@@ -877,21 +914,24 @@ def shared_scan_chunked_tiles(
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     k = int(keys.shape[0])
-    nchunks = (k + 31) // 32
-    kpad = nchunks * 32
+    krows = _interval_krows(k) if k > 32 else min(k, 32)
+    nchunks = (k + krows - 1) // krows
+    kpad = nchunks * krows
     keys2 = keys.astype(jnp.uint32).reshape(k, 1)
     if kpad != k:
         keys2 = jnp.concatenate(
             [keys2, jnp.full((kpad - k, 1), 0xFFFFFFFF, jnp.uint32)], axis=0
         )
-    # scratch (32) + accs (32) + double-buffered in/out blocks
-    per_tb = 512 * (2 * width + 2 * 32 + 32 + 32 + 8)
+    # scratch (32) + accs (krows) + double-buffered in/out blocks
+    per_tb = 512 * (2 * width + 2 * krows + 32 + krows + 8)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
     tb = _pick_tb(b1, tb if tb is not None else tb_auto)
     grid = (b1 // tb, nchunks)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     bits, cnt = pl.pallas_call(
-        functools.partial(_shared_scan_chunked_kernel, width=width, tb=tb, n=n),
+        functools.partial(
+            _shared_scan_chunked_kernel, width=width, tb=tb, n=n, krows=krows
+        ),
         out_shape=(
             jax.ShapeDtypeStruct((kpad, b1, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
@@ -899,17 +939,17 @@ def shared_scan_chunked_tiles(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((32, 1), lambda i, c: (c, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((krows, 1), lambda i, c: (c, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(
                 (width, tb, LANES), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=(
             pl.BlockSpec(
-                (32, tb, LANES), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+                (krows, tb, LANES), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, 32, LANES), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+                (1, krows, LANES), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
             ),
         ),
         scratch_shapes=[pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)],

@@ -68,8 +68,9 @@ def test_range_scan_empty_and_full_ranges():
     assert int(counts[2]) == int(expect2.sum())
 
 
-def test_interval_scan_large_k_chunked():
-    width, n, k = 9, 6_000, 100  # multi-chunk path (k > 32)
+@pytest.mark.parametrize("k", [36, 48, 64, 100])  # krows 8/16/32/8 strides
+def test_interval_scan_large_k_chunked(k):
+    width, n = 9, 6_000  # multi-chunk path (k > 32)
     vals, col = _col(width, n, seed=13)
     dev = layout.to_device(col)
     lo = 50
