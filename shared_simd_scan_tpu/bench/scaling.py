@@ -36,7 +36,7 @@ def _chain_sharded(tiles, keys, salt, k, *, mesh, width, n, interpret):
         )
         return acc + cnt[0]
 
-    return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
 def bench_scaling(
