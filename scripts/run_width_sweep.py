@@ -57,9 +57,13 @@ def main(argv):
             out_path = a
 
     size = _parse_size(data_size)
+    # Narrow widths explode the RAW side (width 1 at 256 MiB packed is a
+    # 8.6 GB uint32 column): cap the value count so synth + pack + unpack
+    # buffers fit HBM, and record the actual packed size per row.
+    max_values = 500_000_000
     rows = []
     for width in widths:
-        n = harness.values_for(size, width)
+        n = min(harness.values_for(size, width), max_values)
         vals = harness.synth_modk(n, k, width)
         dev = unpack_ops.pack_device_kernel(vals, width)
         del vals  # narrow widths: the raw column is ~4x the packed size
@@ -71,6 +75,7 @@ def main(argv):
             (dev.tiles,), trials=reps, est_iter_s=tr_u / 600e9,
         )
         rows.append({"width": width, "op": "unpack",
+                     "packed_mib": round(packed / 2**20, 1),
                      "avg_ms": round(m.millis, 6),
                      "gb_per_s": round(tr_u / m.seconds / 1e9, 1)})
         print(f"w={width:2d} unpack: {m.millis:.3f} ms "
@@ -83,6 +88,7 @@ def main(argv):
             (dev.tiles,), trials=reps, est_iter_s=tr_s / 450e9,
         )
         rows.append({"width": width, "op": f"shared scan k={k} (interval)",
+                     "packed_mib": round(packed / 2**20, 1),
                      "avg_ms": round(m.millis, 6),
                      "gb_per_s": round(tr_s / m.seconds / 1e9, 1)})
         print(f"w={width:2d} shared k={k}: {m.millis:.3f} ms "
@@ -119,7 +125,8 @@ def main(argv):
 
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(
-            f, fieldnames=["width", "op", "avg_ms", "gb_per_s", "verified"]
+            f, fieldnames=["width", "op", "packed_mib", "avg_ms", "gb_per_s",
+                           "verified"]
         )
         w.writeheader()
         for r in rows:
