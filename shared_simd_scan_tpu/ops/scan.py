@@ -222,20 +222,32 @@ def shared_scan_device(
 ) -> tuple[jax.Array, jax.Array]:
     """Shared scan on a DeviceColumn -> ((k, W) canonical bitvectors, (k,) counts).
 
-    Concrete consecutive predicate sets (lo..lo+k-1, the reference
-    benchmark's own shape and the per-key decomposition of a range
-    predicate) dispatch to the O(1)-in-k interval kernel; arbitrary key
-    sets use the general per-key-compare kernel."""
+    Dispatch (static, on the concrete key set when available):
+    - consecutive run lo..lo+k-1 (the reference benchmark's own shape):
+      the O(1)-in-k interval kernel;
+    - concrete clustered keys, k <= 48: the windowed kernel when its
+      static cost (2*windows + 5*subwindows per value) beats the compare
+      kernel's 3*k;
+    - otherwise: general static compare kernel (k <= 32) or the 32-key-
+      chunked static kernel (any k, keys may be traced)."""
     keys = jnp.asarray(keys, jnp.uint32)
+    k = int(keys.shape[0])
     lo = _consecutive_lo(keys)
     if lo is not None:
         bits, counts = interval_scan_tiles(
-            dev.tiles, lo, int(keys.shape[0]), dev.width, dev.n,
-            tb=tb, interpret=interpret,
+            dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret,
         )
-    elif int(keys.shape[0]) > 32:
+    elif (
+        not isinstance(keys, jax.core.Tracer)
+        and 2 <= k <= 48
+        and windowed_cost(keys) < 12 * k
+    ):
+        bits, counts = windowed_scan_tiles(
+            dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+        )
+    elif k > 32:
         # large arbitrary key sets: 32-key-chunked static kernel (static
-        # 32x32 compare block per grid step, any k, keys may be traced)
+        # compare block per grid step, any k, keys may be traced)
         bits, counts = shared_scan_chunked_tiles(
             dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
         )
@@ -284,6 +296,7 @@ def popcount_bits(bits: jax.Array) -> jax.Array:
 __all__ = [
     "shared_scan_tiles",
     "shared_scan_chunked_tiles",
+    "windowed_scan_tiles",
     "shared_scan_device",
     "scan_device",
     "shared_scan_linear_device",
@@ -959,3 +972,186 @@ def shared_scan_chunked_tiles(
     if kpad != k:
         bits, counts = bits[:k], counts[:k]
     return bits, counts
+
+
+# ---------------------------------------------------------------------------
+# Windowed shared scan: arbitrary concrete keys via 32-aligned mask windows
+# ---------------------------------------------------------------------------
+#
+# Generalizes the interval kernel's one-shot mask to ANY concrete key set:
+# keys are grouped into 32-aligned windows of the value domain; one
+# variable shift per (value, window) produces the 32-bit match mask for
+# every key the window contains, and one SWAPMOVE transpose per populated
+# 8-key sub-window yields the bitvector words, which are stored STRAIGHT
+# to each key's caller-order row (the plan is static — keys must be
+# concrete).  Cost is 2*windows + ~5*populated_subwindows + unpack per
+# value, independent of k itself — cheaper than the general compare
+# kernel's 3*k whenever keys cluster (>= ~2 keys per 8-aligned byte).
+# The library dispatches on exactly that static cost comparison
+# (see shared_scan_device).
+
+
+def _window_plan(arr):
+    """keys (concrete, caller order) -> (bases, plan).
+
+    bases: sorted unique 32-aligned window bases.
+    plan: per base, tuple of (byte, ((j, out_row), ...)) — sub-window byte
+    index, bit j within it, and the caller-order output row."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint32)
+    by_base: dict[int, dict[int, list[tuple[int, int]]]] = {}
+    for row, key in enumerate(arr.tolist()):
+        base = key // 32 * 32
+        off = key - base
+        by_base.setdefault(base, {}).setdefault(off // 8, []).append(
+            (off % 8, row)
+        )
+    bases = sorted(by_base)
+    plan = tuple(
+        tuple(
+            (byte, tuple(by_base[b][byte]))
+            for byte in sorted(by_base[b])
+        )
+        for b in bases
+    )
+    return bases, plan
+
+
+def windowed_cost(arr) -> int:
+    """Static vector-op cost estimate (per value, x4) of the windowed
+    kernel for this key set: 8*windows + 20*populated_subwindows."""
+    bases, plan = _window_plan(arr)
+    nbytes = sum(len(p) for p in plan)
+    return 8 * len(bases) + 20 * nbytes
+
+
+def _windowed_scan_kernel(
+    off_ref, los_ref, in_ref, bits_ref, cnt_ref, *,
+    width, tb, n, k, plan, gateless,
+):
+    i = pl.program_id(0)
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    nwin = len(plan)
+    if nwin > 1:
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+    outs: list = [None] * k
+    for w, wplan in enumerate(plan):
+        lo_w = los_ref[w, 0]
+        if nwin > 1:
+            ms = [_onehot32(v - lo_w, gateless) for v in vs]
+        else:
+            ms = [
+                _onehot32(v - lo_w, gateless)
+                for _, v in _unpack_block_values(in_ref, width)
+            ]
+        for byte, jrows in wplan:
+            x = []
+            for t in range(8):
+                acc = None
+                for g in range(4):
+                    mb = _mask_byte(ms[8 * g + t], byte, g)
+                    acc = mb if acc is None else acc | mb
+                x.append(acc)
+            y = _transpose8x8_bytes(x)
+            for j, row in jrows:
+                outs[row] = y[j]
+
+    def _store(masked: bool):
+        if masked:
+            r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+            l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+            blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+            valid = jnp.where(
+                blk < full,
+                jnp.uint32(0xFFFFFFFF),
+                jnp.where(
+                    blk == full,
+                    jnp.uint32((1 << rem) - 1 if rem else 0),
+                    jnp.uint32(0),
+                ),
+            )
+        for row in range(k):
+            w_ = outs[row] & valid if masked else outs[row]
+            bits_ref[row] = w_
+            cnt_ref[0, row] = jnp.sum(
+                jax.lax.population_count(w_).astype(jnp.int32), axis=0
+            )
+
+    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
+    needs_mask = tile_end > full
+    pl.when(needs_mask)(lambda: _store(True))
+    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+
+
+def windowed_scan_tiles(
+    tiles: jax.Array,
+    keys,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Shared scan for an arbitrary CONCRETE key set (k <= 48) via
+    32-aligned mask windows; same output contract as shared_scan_tiles.
+    Raises on traced keys (the store plan must be static)."""
+    import numpy as np
+
+    if isinstance(keys, jax.core.Tracer):
+        raise TypeError("windowed_scan_tiles requires concrete keys")
+    arr = np.asarray(keys, dtype=np.uint32)
+    k = int(arr.shape[0])
+    if not (1 <= k <= 48):
+        raise ValueError(f"windowed scan supports 1 <= k <= 48, got {k}")
+    bases, plan = _window_plan(arr)
+    gateless = shift_saturates(interpret=interpret)
+    return _windowed_scan_tiles_impl(
+        tiles, jnp.asarray(np.array(bases, np.uint32).reshape(-1, 1)),
+        width, n, k, plan, tb, interpret, gateless, block_offset,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "n", "k", "plan", "tb", "interpret", "gateless"),
+)
+def _windowed_scan_tiles_impl(
+    tiles, los, width, n, k, plan, tb, interpret, gateless, block_offset
+):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    nwin = los.shape[0]
+    # vs (32 when multi-window) + ms (32) + bits out (2k) + input
+    extra = (32 if nwin > 1 else 0) + 32 + 12
+    per_tb = 512 * (2 * width + 2 * k + extra)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb,)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(
+            _windowed_scan_kernel,
+            width=width, tb=tb, n=n, k=k, plan=plan, gateless=gateless,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((k, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((los.shape[0], 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (k, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(off, los, tiles)
+    return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))

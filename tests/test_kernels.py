@@ -178,3 +178,59 @@ def test_chunked_dispatch_used_above_32():
     obits, ocounts = oracle.shared_scan(col, keys)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+
+
+@pytest.mark.parametrize("spread", ["clustered", "spread", "dupes"])
+def test_windowed_scan_parity(spread):
+    # arbitrary concrete keys via the 32-aligned-window kernel
+    width, n = 9, 40_000
+    vals = _rand_column(width, n, seed=3)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    if spread == "clustered":
+        keys = np.array([10, 11, 12, 40, 41, 42, 43, 100, 101, 102,
+                         103, 104, 200, 201], np.uint32)
+    elif spread == "spread":
+        keys = (np.arange(20, dtype=np.uint32) * 25 + 3) % 512
+    else:
+        keys = np.array([7, 7, 300, 300, 12], np.uint32)  # duplicates
+    bits, counts = scan_ops.windowed_scan_tiles(
+        dev.tiles, keys, width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_windowed_dispatch_cost_rule():
+    # clustered keys dispatch to the windowed kernel; spread keys do not
+    clustered = np.arange(16, dtype=np.uint32).reshape(2, 8)
+    clustered = (clustered + np.array([[64], [256]], np.uint32)).reshape(-1)
+    assert scan_ops.windowed_cost(clustered) < 12 * clustered.shape[0]
+    spread = (np.arange(8, dtype=np.uint32) * 61 + 5) % 512
+    assert scan_ops.windowed_cost(spread) >= 12 * spread.shape[0]
+    # and the dispatch path result matches the oracle either way
+    width, n = 9, 20_000
+    vals = _rand_column(width, n, seed=4)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    for keys in (clustered, spread):
+        bits, counts = scan_ops.shared_scan_device(dev, keys, interpret=True)
+        obits, ocounts = oracle.shared_scan(col, keys)
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+        np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+
+
+def test_windowed_rejects_traced_keys():
+    width, n = 9, 2_048
+    vals = _rand_column(width, n, seed=5)
+    dev = layout.to_device(layout.pack(vals, width))
+    import jax
+
+    def f(keys):
+        return scan_ops.windowed_scan_tiles(dev.tiles, keys, width, n)
+
+    with pytest.raises(TypeError, match="concrete"):
+        jax.make_jaxpr(f)(jnp.arange(4, dtype=jnp.uint32))
