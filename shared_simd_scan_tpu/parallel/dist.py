@@ -102,7 +102,14 @@ def _sharded_shared_scan_tiles(
 
     def local(tiles_l, keys_l):
         off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
-        bits, cnt = scan_ops.shared_scan_tiles(
+        # same tiering as shared_scan_device: 32-key-chunked static kernel
+        # above k=32 (works with the traced keys shard_map provides)
+        fn = (
+            scan_ops.shared_scan_chunked_tiles
+            if int(keys_l.shape[0]) > 32
+            else scan_ops.shared_scan_tiles
+        )
+        bits, cnt = fn(
             tiles_l, keys_l, width, n, tb=tb, interpret=interpret,
             block_offset=off,
         )

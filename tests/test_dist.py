@@ -95,3 +95,20 @@ def test_sharded_range_scan_parity(mesh):
     for j in range(2):
         expect = (vals >= lows[j]) & (vals < highs[j])
         assert int(counts[j]) == int(expect.sum())
+
+
+def test_sharded_chunked_large_k_parity():
+    # k>32 through the sharded path must route via the chunked kernel
+    # and still match the oracle (counts psum'd across the virtual mesh)
+    width, n, k = 9, 70_000, 40
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    col = layout.pack(vals, width)
+    mesh = dist.make_mesh()
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    keys = (np.arange(k, dtype=np.uint32) * 13 + 2) % (1 << width)
+    bits, counts = dist.sharded_shared_scan(sdev, keys, mesh, interpret=True)
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    got = np.asarray(bits_to_canonical(bits, n))
+    np.testing.assert_array_equal(got, np.asarray(obits))
