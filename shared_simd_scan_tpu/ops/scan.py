@@ -380,6 +380,44 @@ def _mask_byte(m, c8: int, g: int):
     return m & jnp.uint32(0xFF << (8 * g))
 
 
+def _store_rows_tail_masked(
+    off_ref, i, tb, n, rows, bits_ref, cnt_ref, base_row: int = 0
+):
+    """Store per-key words + per-step count partials, masking the validity
+    tail only in the grid step that contains the first padding block
+    (padding blocks are zero-filled; key 0 of a chunk could otherwise
+    match them).  ``rows`` is the static list of (tb, LANES) words; row j
+    is written to bits_ref[base_row + j] / cnt_ref[0, base_row + j]."""
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+
+    def _store(masked: bool):
+        if masked:
+            r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+            l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+            blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+            valid = jnp.where(
+                blk < full,
+                jnp.uint32(0xFFFFFFFF),
+                jnp.where(
+                    blk == full,
+                    jnp.uint32((1 << rem) - 1 if rem else 0),
+                    jnp.uint32(0),
+                ),
+            )
+        for j, word in enumerate(rows):
+            w = word & valid if masked else word
+            bits_ref[base_row + j] = w
+            cnt_ref[0, base_row + j] = jnp.sum(
+                jax.lax.population_count(w).astype(jnp.int32), axis=0
+            )
+
+    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
+    needs_mask = tile_end > full
+    pl.when(needs_mask)(lambda: _store(True))
+    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+
+
+
 def _interval_scan_kernel(
     off_ref, lo_ref, in_ref, bits_ref, cnt_ref, *scratch_refs,
     width, tb, n, nchunks, krows, gateless,
@@ -389,7 +427,6 @@ def _interval_scan_kernel(
     krows keys per chunk step (the largest of 32/16/8 dividing k, so
     output padding never exceeds 7 rows); nchunks = ceil(k / krows)."""
     i = pl.program_id(0)
-    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
     lo = lo_ref[0, 0]
     if nchunks > 1:
         # unpack once per block tile into scratch; chunks (fast grid dim)
@@ -427,7 +464,7 @@ def _interval_scan_kernel(
         stream = True  # single round: stream mask creation inside the X build
 
     rounds = (krows + 7) // 8
-    ys = []
+    rows = []
     for c8 in range(rounds):
         win, byte = c8 // 4, c8 % 4
         x = []
@@ -442,37 +479,9 @@ def _interval_scan_kernel(
                 mb = _mask_byte(m, byte, g)
                 acc = mb if acc is None else acc | mb
             x.append(acc)
-        ys.append(_transpose8x8_bytes(x))
+        rows.extend(_transpose8x8_bytes(x)[: min(8, krows - 8 * c8)])
 
-    def _store(masked: bool):
-        if masked:
-            row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
-            blk = off_ref[0, 0] + (i * tb + row) * LANES + lane  # global block id
-            valid = jnp.where(
-                blk < full,
-                jnp.uint32(0xFFFFFFFF),
-                jnp.where(
-                    blk == full,
-                    jnp.uint32((1 << rem) - 1 if rem else 0),
-                    jnp.uint32(0),
-                ),
-            )
-        for c8 in range(rounds):
-            for j in range(min(8, krows - 8 * c8)):
-                w = ys[c8][j] & valid if masked else ys[c8][j]
-                bits_ref[8 * c8 + j] = w
-                cnt_ref[0, 8 * c8 + j] = jnp.sum(
-                    jax.lax.population_count(w).astype(jnp.int32), axis=0
-                )
-
-    # Only the grid step containing the first padding block needs the
-    # validity mask (padding blocks are zero-filled and key 0 of a chunk
-    # could otherwise match them); every other step stores unmasked.
-    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
-    needs_mask = tile_end > full
-    pl.when(needs_mask)(lambda: _store(True))
-    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+    _store_rows_tail_masked(off_ref, i, tb, n, rows, bits_ref, cnt_ref)
 
 
 # Per-backend cache for the vector-shift saturation canary.
@@ -870,7 +879,6 @@ def _shared_scan_chunked_kernel(
 ):
     i = pl.program_id(0)
     c = pl.program_id(1)
-    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
 
     @pl.when(c == 0)
     def _fill():
@@ -884,31 +892,7 @@ def _shared_scan_chunked_kernel(
         for j in range(krows):
             accs[j] = accs[j] | jnp.where(v == keys_ref[j, 0], bit, jnp.uint32(0))
 
-    def _store(masked: bool):
-        if masked:
-            row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
-            lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
-            blk = off_ref[0, 0] + (i * tb + row) * LANES + lane
-            valid = jnp.where(
-                blk < full,
-                jnp.uint32(0xFFFFFFFF),
-                jnp.where(
-                    blk == full,
-                    jnp.uint32((1 << rem) - 1 if rem else 0),
-                    jnp.uint32(0),
-                ),
-            )
-        for j in range(krows):
-            w = accs[j] & valid if masked else accs[j]
-            bits_ref[j] = w
-            cnt_ref[0, j] = jnp.sum(
-                jax.lax.population_count(w).astype(jnp.int32), axis=0
-            )
-
-    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
-    needs_mask = tile_end > full
-    pl.when(needs_mask)(lambda: _store(True))
-    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+    _store_rows_tail_masked(off_ref, i, tb, n, accs, bits_ref, cnt_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
@@ -1031,7 +1015,6 @@ def _windowed_scan_kernel(
     width, tb, n, k, plan, gateless,
 ):
     i = pl.program_id(0)
-    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
     nwin = len(plan)
     if nwin > 1:
         vs = [v for _, v in _unpack_block_values(in_ref, width)]
@@ -1057,31 +1040,7 @@ def _windowed_scan_kernel(
             for j, row in jrows:
                 outs[row] = y[j]
 
-    def _store(masked: bool):
-        if masked:
-            r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
-            l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
-            blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
-            valid = jnp.where(
-                blk < full,
-                jnp.uint32(0xFFFFFFFF),
-                jnp.where(
-                    blk == full,
-                    jnp.uint32((1 << rem) - 1 if rem else 0),
-                    jnp.uint32(0),
-                ),
-            )
-        for row in range(k):
-            w_ = outs[row] & valid if masked else outs[row]
-            bits_ref[row] = w_
-            cnt_ref[0, row] = jnp.sum(
-                jax.lax.population_count(w_).astype(jnp.int32), axis=0
-            )
-
-    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
-    needs_mask = tile_end > full
-    pl.when(needs_mask)(lambda: _store(True))
-    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+    _store_rows_tail_masked(off_ref, i, tb, n, outs, bits_ref, cnt_ref)
 
 
 def windowed_scan_tiles(
