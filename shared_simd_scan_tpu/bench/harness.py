@@ -198,6 +198,27 @@ def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "keys_tuple")
+)
+def chain_windowed_shared_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
+    """Windowed-kernel chain.  The window/store plan must be static, so the
+    keys are a compile-time tuple; distinct submissions come from salting
+    the input data instead (data-dependent via the count)."""
+    import numpy as np
+
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        _, cnt = scan_ops.windowed_scan_tiles(t, keys, width, n, tb=tb)
+        return t, acc + cnt[0]
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
     def body(i, acc):
@@ -279,13 +300,27 @@ def check_shared_scan(
     (independent codegen, bit-exact by unit test); plus bitvector bytes vs
     the gather oracle on a 2M-value prefix (third implementation)."""
     bits, counts = scan_ops.shared_scan_device(dev, keys)
-    match = vals[None, :] == keys[:, None].astype(jnp.uint32)
-    expect_counts = jnp.sum(match, axis=1, dtype=jnp.uint32)
+    # key-chunked so the (k, n) compare never materializes more than ~256M
+    # elements at once (k=256 over a 64 MiB column would otherwise be 15 GB)
+    kchunk = max(1, (1 << 28) // max(dev.n, 1))
+    expect_parts = []
+    for j0 in range(0, int(keys.shape[0]), kchunk):
+        match = vals[None, :] == keys[j0 : j0 + kchunk, None].astype(jnp.uint32)
+        expect_parts.append(jnp.sum(match, axis=1, dtype=jnp.uint32))
+    expect_counts = jnp.concatenate(expect_parts)
     ok = bool(jnp.all(counts == expect_counts))
     if ok:
-        # full-size bitvector cross-check against the XLA-compiled tier
-        xbits, xcounts = xla_kernels.shared_scan_device_xla(dev, keys)
-        ok = bool(jnp.all(bits == xbits)) and bool(jnp.all(counts == xcounts))
+        # full-size bitvector cross-check against the XLA-compiled tier,
+        # 32 keys at a time (bounds the tier's k unrolled accumulators and
+        # reuses one compiled shape across chunks at large k)
+        for j0 in range(0, int(keys.shape[0]), 32):
+            xbits, xcounts = xla_kernels.shared_scan_device_xla(
+                dev, keys[j0 : j0 + 32]
+            )
+            ok = ok and bool(jnp.all(bits[j0 : j0 + 32] == xbits))
+            ok = ok and bool(jnp.all(counts[j0 : j0 + 32] == xcounts))
+            if not ok:
+                break
     if ok:
         n_chk = min(dev.n, 2_000_000)
         w_chk = layout.bitvector_words(n_chk)

@@ -225,9 +225,9 @@ def shared_scan_device(
     Dispatch (static, on the concrete key set when available):
     - consecutive run lo..lo+k-1 (the reference benchmark's own shape):
       the O(1)-in-k interval kernel;
-    - concrete clustered keys, k <= 48: the windowed kernel when its
-      static cost (2*windows + 5*subwindows per value) beats the compare
-      kernel's 3*k;
+    - concrete clustered keys, any k: the windowed kernel when its static
+      cost (2*windows + 5*subwindows per value, summed over its 32-row
+      chunks) beats the compare kernels' 3*k;
     - otherwise: general static compare kernel (k <= 32) or the 32-key-
       chunked static kernel (any k, keys may be traced)."""
     keys = jnp.asarray(keys, jnp.uint32)
@@ -239,7 +239,7 @@ def shared_scan_device(
         )
     elif (
         not isinstance(keys, jax.core.Tracer)
-        and 2 <= k <= 48
+        and k >= 2
         and windowed_cost(keys) < 12 * k
     ):
         bits, counts = windowed_scan_tiles(
@@ -1002,32 +1002,56 @@ def _window_plan(arr):
     return bases, plan
 
 
+def _window_chunks(arr, krows: int = 32):
+    """Caller-order key rows in chunks of ``krows`` -> (bases, plans, woffs).
+
+    bases: all chunks' window bases concatenated (kernel operand);
+    plans: per chunk, the :func:`_window_plan` plan with rows relative to
+    the chunk; woffs: per chunk, its first window's index into bases."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint32)
+    bases_all: list[int] = []
+    plans = []
+    woffs = []
+    for c0 in range(0, arr.shape[0], krows):
+        bases, plan = _window_plan(arr[c0 : c0 + krows])
+        woffs.append(len(bases_all))
+        bases_all.extend(bases)
+        plans.append(plan)
+    return bases_all, tuple(plans), tuple(woffs)
+
+
 def windowed_cost(arr) -> int:
     """Static vector-op cost estimate (per value, x4) of the windowed
-    kernel for this key set: 8*windows + 20*populated_subwindows."""
-    bases, plan = _window_plan(arr)
-    nbytes = sum(len(p) for p in plan)
-    return 8 * len(bases) + 20 * nbytes
+    kernel for this key set: 8*windows + 20*populated_subwindows, summed
+    over the 32-row chunks the kernel would actually run (windows shared
+    between chunks are re-masked per chunk and so counted per chunk)."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint32)
+    if arr.shape[0] <= 48:
+        chunks = [_window_plan(arr)]
+    else:
+        _, plans, _ = _window_chunks(arr)
+        chunks = [(None, p) for p in plans]
+    return sum(
+        8 * len(plan) + 20 * sum(len(p) for p in plan) for _, plan in chunks
+    )
 
 
-def _windowed_scan_kernel(
-    off_ref, los_ref, in_ref, bits_ref, cnt_ref, *,
-    width, tb, n, k, plan, gateless,
-):
-    i = pl.program_id(0)
-    nwin = len(plan)
-    if nwin > 1:
-        vs = [v for _, v in _unpack_block_values(in_ref, width)]
-    outs: list = [None] * k
+def _windowed_rows(values_fn, los_ref, woff, plan, krows, gateless):
+    """Per-row bitvector words for one window plan.
+
+    ``values_fn()`` yields the 32 block values in value-slot order; it is
+    re-invoked per window, so pass a closure over a cached list when the
+    values are materialized (multi-window / scratch) and a fresh unpack
+    generator when streaming (single window).  Rows the plan never touches
+    (chunk padding) stay ``None``."""
+    outs: list = [None] * krows
     for w, wplan in enumerate(plan):
-        lo_w = los_ref[w, 0]
-        if nwin > 1:
-            ms = [_onehot32(v - lo_w, gateless) for v in vs]
-        else:
-            ms = [
-                _onehot32(v - lo_w, gateless)
-                for _, v in _unpack_block_values(in_ref, width)
-            ]
+        lo_w = los_ref[woff + w, 0]
+        ms = [_onehot32(v - lo_w, gateless) for v in values_fn()]
         for byte, jrows in wplan:
             x = []
             for t in range(8):
@@ -1039,8 +1063,54 @@ def _windowed_scan_kernel(
             y = _transpose8x8_bytes(x)
             for j, row in jrows:
                 outs[row] = y[j]
+    return outs
 
+
+def _windowed_scan_kernel(
+    off_ref, los_ref, in_ref, bits_ref, cnt_ref, *,
+    width, tb, n, k, plan, gateless,
+):
+    i = pl.program_id(0)
+    if len(plan) > 1:
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        values_fn = lambda: vs  # noqa: E731
+    else:
+        # single window: stream mask creation inside the unpack
+        values_fn = lambda: (  # noqa: E731
+            v for _, v in _unpack_block_values(in_ref, width)
+        )
+    outs = _windowed_rows(values_fn, los_ref, 0, plan, k, gateless)
     _store_rows_tail_masked(off_ref, i, tb, n, outs, bits_ref, cnt_ref)
+
+
+def _windowed_chunked_kernel(
+    off_ref, los_ref, in_ref, bits_ref, cnt_ref, scratch, *,
+    width, tb, n, krows, plans, woffs, gateless,
+):
+    """Windowed scan for any k: 32-row caller-order key chunks ride the
+    second (fast) grid dimension; values are unpacked once per block tile
+    into VMEM scratch on the first chunk and reused (same layout as
+    _shared_scan_chunked_kernel), so per-chunk cost is just that chunk's
+    window masks + transposes."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _fill():
+        for r, v in _unpack_block_values(in_ref, width):
+            scratch[r] = v
+
+    for idx, chunk_plan in enumerate(plans):
+
+        @pl.when(c == idx)
+        def _body(chunk_plan=chunk_plan, woff=woffs[idx]):
+            vs = [scratch[r] for r in range(BLOCK_VALUES)]
+            outs = _windowed_rows(
+                lambda: vs, los_ref, woff, chunk_plan, krows, gateless
+            )
+            zero = jnp.zeros((tb, LANES), jnp.uint32)
+            outs = [o if o is not None else zero for o in outs]
+            _store_rows_tail_masked(off_ref, i, tb, n, outs, bits_ref, cnt_ref)
 
 
 def windowed_scan_tiles(
@@ -1052,8 +1122,11 @@ def windowed_scan_tiles(
     interpret: bool = False,
     block_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
-    """Shared scan for an arbitrary CONCRETE key set (k <= 48) via
+    """Shared scan for an arbitrary CONCRETE key set, any k, via
     32-aligned mask windows; same output contract as shared_scan_tiles.
+    k <= 48 runs single-step; larger k is chunked into 32 caller-order
+    rows per step of a second grid dimension (values unpacked once to
+    VMEM scratch per block tile, as in shared_scan_chunked_tiles).
     Raises on traced keys (the store plan must be static)."""
     import numpy as np
 
@@ -1061,14 +1134,21 @@ def windowed_scan_tiles(
         raise TypeError("windowed_scan_tiles requires concrete keys")
     arr = np.asarray(keys, dtype=np.uint32)
     k = int(arr.shape[0])
-    if not (1 <= k <= 48):
-        raise ValueError(f"windowed scan supports 1 <= k <= 48, got {k}")
-    bases, plan = _window_plan(arr)
+    if k < 1:
+        raise ValueError(f"windowed scan needs at least one key, got {k}")
     gateless = shift_saturates(interpret=interpret)
-    return _windowed_scan_tiles_impl(
+    if k <= 48:
+        bases, plan = _window_plan(arr)
+        return _windowed_scan_tiles_impl(
+            tiles, jnp.asarray(np.array(bases, np.uint32).reshape(-1, 1)),
+            width, n, k, plan, tb, interpret, gateless, block_offset,
+        )
+    bases, plans, woffs = _window_chunks(arr)
+    bits, counts = _windowed_chunked_tiles_impl(
         tiles, jnp.asarray(np.array(bases, np.uint32).reshape(-1, 1)),
-        width, n, k, plan, tb, interpret, gateless, block_offset,
+        width, n, plans, woffs, tb, interpret, gateless, block_offset,
     )
+    return bits[:k], counts[:k]
 
 
 @functools.partial(
@@ -1111,6 +1191,60 @@ def _windowed_scan_tiles_impl(
             ),
             pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
+    )(off, los, tiles)
+    return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "width", "n", "plans", "woffs", "tb", "interpret", "gateless"
+    ),
+)
+def _windowed_chunked_tiles_impl(
+    tiles, los, width, n, plans, woffs, tb, interpret, gateless, block_offset
+):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    krows = 32
+    nchunks = len(plans)
+    kpad = nchunks * krows
+    # scratch (32) + masks (32) + double-buffered in/bits blocks + slack
+    per_tb = 512 * (2 * width + 2 * krows + 32 + 32 + 8)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb, nchunks)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(
+            _windowed_chunked_kernel,
+            width=width, tb=tb, n=n, krows=krows, plans=plans, woffs=woffs,
+            gateless=gateless,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((kpad, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (los.shape[0], 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM
+            ),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (krows, tb, LANES), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, krows, LANES), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)],
         interpret=interpret,
     )(off, los, tiles)
     return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))

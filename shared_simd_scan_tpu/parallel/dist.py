@@ -124,6 +124,33 @@ def _sharded_shared_scan_tiles(
     )(tiles, keys)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),
+)
+def _sharded_windowed_scan_tiles(
+    tiles, *, mesh, keys_tuple, width, n, tb, interpret
+):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def local(tiles_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = scan_ops.windowed_scan_tiles(
+            tiles_l, keys, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, DATA_AXIS, None),
+        out_specs=(P(None, DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles)
+
+
 def sharded_shared_scan(
     dev: DeviceColumn, keys, mesh: Mesh, tb: int | None = None,
     interpret: bool = False,
@@ -133,8 +160,27 @@ def sharded_shared_scan(
     Returns (bits uint32[k, B1, 128] sharded along B1, counts int32[k]
     replicated via psum).  Use :func:`scan_ops.bits_to_canonical` to gather
     a canonical bitvector when needed.
+
+    Same static dispatch as the single-chip :func:`scan_ops.
+    shared_scan_device` when the keys are concrete: a consecutive run goes
+    to the interval kernel, a clustered set to the windowed kernel (cost
+    rule), everything else to the compare kernels.
     """
     keys = jnp.asarray(keys, jnp.uint32)
+    if not isinstance(keys, jax.core.Tracer):
+        k = int(keys.shape[0])
+        lo = scan_ops._consecutive_lo(keys)
+        if lo is not None:
+            return _sharded_interval_scan_tiles(
+                dev.tiles, jnp.uint32(lo), mesh=mesh, k=k, width=dev.width,
+                n=dev.n, tb=tb, interpret=interpret,
+            )
+        if k >= 2 and scan_ops.windowed_cost(keys) < 12 * k:
+            return _sharded_windowed_scan_tiles(
+                dev.tiles, mesh=mesh,
+                keys_tuple=tuple(int(x) for x in np.asarray(keys)),
+                width=dev.width, n=dev.n, tb=tb, interpret=interpret,
+            )
     return _sharded_shared_scan_tiles(
         dev.tiles, keys, mesh=mesh, width=dev.width, n=dev.n, tb=tb,
         interpret=interpret,

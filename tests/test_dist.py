@@ -112,3 +112,45 @@ def test_sharded_chunked_large_k_parity():
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
     got = np.asarray(bits_to_canonical(bits, n))
     np.testing.assert_array_equal(got, np.asarray(obits))
+
+
+def test_sharded_windowed_clustered_parity():
+    # clustered concrete keys (incl. k>48 -> chunked windowed) dispatch
+    # through the sharded windowed path and match the oracle
+    width, n = 9, 70_000
+    rng = np.random.default_rng(33)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    col = layout.pack(vals, width)
+    mesh = dist.make_mesh()
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    for k, bases in ((14, [10, 40, 100]), (56, [0, 64, 192, 256, 320, 448, 480])):
+        keys = np.sort(np.concatenate(
+            [b + np.arange(8, dtype=np.uint32) for b in np.asarray(bases, np.uint32)]
+        ))[:k].astype(np.uint32)
+        from shared_simd_scan_tpu.ops import scan as scan_ops
+        assert scan_ops.windowed_cost(keys) < 12 * k
+        assert scan_ops._consecutive_lo(keys) is None
+        bits, counts = dist.sharded_shared_scan(sdev, keys, mesh, interpret=True)
+        obits, ocounts = oracle.shared_scan(col, keys)
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+        np.testing.assert_array_equal(
+            np.asarray(bits_to_canonical(bits, n)), np.asarray(obits)
+        )
+
+
+def test_sharded_dispatch_consecutive_uses_interval():
+    # the sharded dispatcher must give consecutive concrete keys the same
+    # result (via the interval kernel) as the oracle
+    width, n, k = 9, 50_000, 8
+    rng = np.random.default_rng(34)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    col = layout.pack(vals, width)
+    mesh = dist.make_mesh()
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    keys = np.arange(5, 5 + k, dtype=np.uint32)
+    bits, counts = dist.sharded_shared_scan(sdev, keys, mesh, interpret=True)
+    ibits, icounts = dist.sharded_interval_scan(sdev, 5, k, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(bits), np.asarray(ibits))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(icounts))
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))

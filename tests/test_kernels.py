@@ -223,6 +223,53 @@ def test_windowed_dispatch_cost_rule():
         np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
 
 
+@pytest.mark.parametrize("k", [49, 96, 130])
+def test_windowed_chunked_parity(k):
+    # k > 48 goes through the chunked windowed kernel (32-row chunks on a
+    # second grid dim); clustered keys, uneven tail chunk, oracle parity
+    width, n = 9, 40_000
+    vals = _rand_column(width, n, seed=k)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    rng = np.random.default_rng(k)
+    # clusters of 8 consecutive keys at random bases (sorted caller order)
+    bases = rng.choice(np.arange(0, 504, 8), size=(k + 7) // 8, replace=False)
+    keys = np.sort(
+        (bases[:, None] + np.arange(8, dtype=np.uint32)).reshape(-1)[:k]
+    ).astype(np.uint32)
+    bits, counts = scan_ops.windowed_scan_tiles(
+        dev.tiles, keys, width, n, interpret=True
+    )
+    assert bits.shape[0] == k and counts.shape[0] == k
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_windowed_chunked_dispatch_large_k():
+    # clustered concrete keys at k > 48 dispatch via the windowed kernel
+    # (cost rule) and match the oracle end-to-end; a spread set of the
+    # same size does not satisfy the cost rule
+    width, n, k = 9, 20_000, 64
+    clustered = (
+        np.arange(k, dtype=np.uint32).reshape(2, 32)
+        + np.array([[0], [256]], np.uint32)
+    ).reshape(-1) % 512
+    assert scan_ops.windowed_cost(clustered) < 12 * k
+    spread = (np.arange(k, dtype=np.uint32) * 61 + 5) % 512
+    assert scan_ops.windowed_cost(spread) >= 12 * k
+    vals = _rand_column(width, n, seed=11)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    for keys in (clustered, spread):
+        bits, counts = scan_ops.shared_scan_device(dev, keys, interpret=True)
+        obits, ocounts = oracle.shared_scan(col, keys)
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+        np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
+
+
 def test_windowed_rejects_traced_keys():
     width, n = 9, 2_048
     vals = _rand_column(width, n, seed=5)
