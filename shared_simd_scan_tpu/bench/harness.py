@@ -204,7 +204,12 @@ def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
 def chain_windowed_shared_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
     """Windowed-kernel chain.  The window/store plan must be static, so the
     keys are a compile-time tuple; distinct submissions come from salting
-    the input data instead (data-dependent via the count)."""
+    the input data instead (data-dependent via the count).  The carry must
+    consume EVERY key row's count: at k > 256 the kernel runs as several
+    pallas_calls (8-chunk groups) and a carry touching only cnt[0] lets
+    XLA dead-code-eliminate every group but the first (measured: a 2-group
+    k=512 chain reported 1149 GB/s — above the copy roofline — before
+    this sum)."""
     import numpy as np
 
     keys = np.asarray(keys_tuple, np.uint32)
@@ -213,7 +218,7 @@ def chain_windowed_shared_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
         t, acc = carry
         t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
         _, cnt = scan_ops.windowed_scan_tiles(t, keys, width, n, tb=tb)
-        return t, acc + cnt[0]
+        return t, acc + jnp.sum(cnt)
 
     _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
     return acc

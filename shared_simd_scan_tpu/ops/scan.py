@@ -1143,12 +1143,27 @@ def windowed_scan_tiles(
             tiles, jnp.asarray(np.array(bases, np.uint32).reshape(-1, 1)),
             width, n, k, plan, tb, interpret, gateless, block_offset,
         )
-    bases, plans, woffs = _window_chunks(arr)
-    bits, counts = _windowed_chunked_tiles_impl(
-        tiles, jnp.asarray(np.array(bases, np.uint32).reshape(-1, 1)),
-        width, n, plans, woffs, tb, interpret, gateless, block_offset,
+    # Cap chunk branches per kernel call at 8 (= 256 key rows).  Mosaic
+    # handles 8 pl.when chunk branches at full speed but falls off a cliff
+    # past that (measured v5e, w=16 k=512: 16 branches in one call = 55
+    # GB/s vs 575 for two 8-branch calls); re-reading the packed column
+    # once per group is noise next to the k bitvectors written.
+    group = 8 * 32
+    parts = []
+    for g0 in range(0, k, group):
+        sub = arr[g0 : g0 + group]
+        bases, plans, woffs = _window_chunks(sub)
+        bits, counts = _windowed_chunked_tiles_impl(
+            tiles, jnp.asarray(np.array(bases, np.uint32).reshape(-1, 1)),
+            width, n, plans, woffs, tb, interpret, gateless, block_offset,
+        )
+        parts.append((bits[: sub.shape[0]], counts[: sub.shape[0]]))
+    if len(parts) == 1:
+        return parts[0]
+    return (
+        jnp.concatenate([b for b, _ in parts]),
+        jnp.concatenate([c for _, c in parts]),
     )
-    return bits[:k], counts[:k]
 
 
 @functools.partial(

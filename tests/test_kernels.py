@@ -223,10 +223,12 @@ def test_windowed_dispatch_cost_rule():
         np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
 
 
-@pytest.mark.parametrize("k", [49, 96, 130])
+@pytest.mark.parametrize("k", [49, 96, 130, 300])
 def test_windowed_chunked_parity(k):
     # k > 48 goes through the chunked windowed kernel (32-row chunks on a
-    # second grid dim); clustered keys, uneven tail chunk, oracle parity
+    # second grid dim); clustered keys, uneven tail chunk, oracle parity.
+    # k=300 exercises the 256-row group split (two kernel calls, uneven
+    # second group) with concatenated outputs
     width, n = 9, 40_000
     vals = _rand_column(width, n, seed=k)
     col = layout.pack(vals, width)
