@@ -62,17 +62,24 @@ def parse_size(s: str) -> int:
 
 def main(argv):
     out_path, data_size, reps = "windowed_sweep_results.csv", "64m", 3
+    grid = GRID
     for a in argv:
         if a.startswith("--data-size="):
             data_size = a.split("=", 1)[1]
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a.startswith("--grid="):
+            # e.g. --grid=9:64,16:256  (width:k pairs)
+            grid = [
+                (int(p.split(":")[0]), int(p.split(":")[1]))
+                for p in a.split("=", 1)[1].split(",")
+            ]
         else:
             out_path = a
     size = parse_size(data_size)
 
     rows = []
-    for width, k in GRID:
+    for width, k in grid:
         n = harness.values_for(size, width)
         # ramp corpus: covers the full domain so w=16 keys also have hits
         # (synth_modk caps values at 512, benchmark.cpp:277)
