@@ -1,0 +1,115 @@
+"""Measured IN-list (membership) scan rows -> CSV.
+
+Times the member-scan dispatch tiers (interval / window popmask /
+compare / chunked) on the real chip and, for context, the per-query time
+of the alternative a user would otherwise run (shared scan producing k
+bitvectors, OR'd afterwards — the OR pass cost is shown as the shared
+scan row's time plus one extra bitvector pass).
+
+Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_member_bench.py \
+      [out.csv] [--data-size=512m] [--reps=4]
+
+Counted traffic for the member rows is packed column + ONE bitvector —
+GB/s therefore understates the win at large k; compare the ms/query
+columns.
+"""
+import csv
+import functools
+import sys
+
+import numpy as np
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from shared_simd_scan_tpu import layout  # noqa: E402
+from shared_simd_scan_tpu.bench import harness  # noqa: E402
+from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402
+from shared_simd_scan_tpu.ops import member as member_ops  # noqa: E402
+from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
+
+WIDTH = 9
+
+
+def cases():
+    return [
+        ("interval", 8, tuple(range(8))),
+        ("interval", 64, tuple(range(64))),
+        ("interval", 512, tuple(range(512))),
+        ("window", 32, tuple(
+            int(x)
+            for x in np.concatenate([b + np.arange(8) for b in (0, 64, 128, 256)])
+        )),
+        ("compare", 8, tuple(int(x) for x in (np.arange(8) * 61 + 3) % 512)),
+        ("chunked-compare", 100, tuple(
+            int(x) for x in np.unique((np.arange(100) * 37 + 11) % 512)
+        )),
+    ]
+
+
+def parse_size(s: str) -> int:
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1].lower(), 1)
+    return int(float(s[:-1] if mult > 1 else s) * mult)
+
+
+def main(argv):
+    out_path, data_size, reps = "member_bench_results.csv", "512m", 4
+    for a in argv:
+        if a.startswith("--data-size="):
+            data_size = a.split("=", 1)[1]
+        elif a.startswith("--reps="):
+            reps = int(a.split("=", 1)[1])
+        else:
+            out_path = a
+    size = parse_size(data_size)
+
+    n = harness.values_for(size, WIDTH)
+    vals = harness.synth_modk(n, 8, WIDTH)
+    dev = unpack_ops.pack_device_kernel(vals, WIDTH)
+    traffic = layout.packed_nbytes(WIDTH, n) + layout.bitvector_words(n) * 4
+
+    rows = []
+    for tier, k, keys in cases():
+        # verify on device before timing (full-count check vs direct compare)
+        _, cnt = member_ops.member_scan_tiles(
+            dev.tiles, np.asarray(keys, np.uint32), WIDTH, n
+        )
+        kv = jnp.asarray(np.asarray(keys, np.uint32))
+        m = jnp.zeros(n, bool)
+        for j in range(len(keys)):
+            m = m | (vals == kv[j])
+        ok = int(cnt) == int(jnp.sum(m.astype(jnp.uint32)))
+
+        fn = functools.partial(
+            harness.chain_member_scan, width=WIDTH, n=n, tb=None, keys_tuple=keys
+        )
+        meas = measure_loop(
+            fn, (dev.tiles,), trials=reps, est_iter_s=traffic / 650e9,
+            salt0=abs(hash((tier, k))) % 100000,
+        )
+        gbs = traffic / meas.seconds / 1e9
+        rows.append({
+            "width": WIDTH, "k": k, "tier": tier,
+            "ms_per_query": round(meas.millis, 4),
+            "gb_per_s_counted": round(gbs, 1),
+            "verified": ok, "n": n, "traffic_bytes": traffic,
+        })
+        print(f"{tier} k={k}: {gbs:.1f} GB/s counted, "
+              f"{meas.millis:.3f} ms/query verify={'ok' if ok else 'FAIL'}")
+
+    with open(out_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out_path} ({len(rows)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -26,6 +26,9 @@ from shared_simd_scan_tpu.ops.scan import (  # noqa: F401
     interval_scan_device,
     range_scan_device,
 )
+from shared_simd_scan_tpu.ops.member import (  # noqa: F401
+    member_scan_device,
+)
 from shared_simd_scan_tpu.ops.unpack import (  # noqa: F401
     pack_device_kernel,
     unpack_device,

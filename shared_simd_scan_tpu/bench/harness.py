@@ -17,6 +17,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from shared_simd_scan_tpu import layout
 from shared_simd_scan_tpu.bench.timing import Measurement, measure_loop
@@ -224,6 +225,29 @@ def chain_windowed_shared_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
     return acc
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "keys_tuple")
+)
+def chain_member_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
+    """IN-list membership chain.  Concrete keys (static tuple) so the
+    interval/window tiers dispatch; distinct submissions come from salting
+    the input (data-dependent via the count)."""
+    import numpy as np
+
+    from shared_simd_scan_tpu.ops import member as member_ops
+
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        _, cnt = member_ops.member_scan_tiles(t, keys, width, n, tb=tb)
+        return t, acc + cnt
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
     def body(i, acc):
@@ -294,6 +318,31 @@ def check_decompression(dev: layout.DeviceColumn, expect: jax.Array) -> bool:
     if not ok:
         idx = int(jnp.argmax(got != expect))
         print(f"    VERIFY FAILED: first mismatch at index {idx}")
+    return ok
+
+
+def check_member_scan(
+    dev: layout.DeviceColumn, keys: jax.Array, vals: jax.Array
+) -> bool:
+    """Membership verification: count vs a direct jnp compare, full-size
+    bitvector vs the OR of the XLA tier's per-key rows."""
+    from shared_simd_scan_tpu.ops import member as member_ops
+
+    bits, count = member_ops.member_scan_tiles(
+        dev.tiles, np.asarray(keys, np.uint32), dev.width, dev.n
+    )
+    match = jnp.zeros(dev.n, bool)
+    for j in range(int(keys.shape[0])):
+        match = match | (vals == keys[j].astype(jnp.uint32))
+    ok = int(count) == int(jnp.sum(match.astype(jnp.uint32)))
+    if ok:
+        xbits, _ = xla_kernels.shared_scan_device_xla(dev, keys)
+        xrow = xbits[0]
+        for j in range(1, int(keys.shape[0])):
+            xrow = xrow | xbits[j]
+        ok = bool(jnp.all(scan_ops.bits_to_canonical(bits, dev.n) == xrow))
+    if not ok:
+        print("    VERIFY FAILED: member scan mismatch")
     return ok
 
 
@@ -550,6 +599,18 @@ def bench_shared_scan(
             dict(est_iter_s=seq_traffic / 650e9),
         )
     )
+    # IN-list membership (capability extension): same key set, ONE fused
+    # bitvector — write traffic drops from k rows to 1
+    member_traffic = packed_nbytes(width, n) + layout.bitvector_words(n) * 4
+    variants.append(
+        (
+            f"pallas IN-list member scan k={k} (one bitvector)",
+            chain_member_scan,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, keys_tuple=tuple(range(k))),
+            member_traffic,
+        )
+    )
     variants.append(
         (
             f"xla fused shared scan k={k}",
@@ -572,7 +633,12 @@ def bench_shared_scan(
         )
     )
     return _bench_variants(
-        variants, roof, verify=lambda: check_shared_scan(dev, keys, vals), reps=reps
+        variants,
+        roof,
+        verify=lambda: (
+            check_shared_scan(dev, keys, vals) and check_member_scan(dev, keys, vals)
+        ),
+        reps=reps,
     )
 
 

@@ -1,0 +1,395 @@
+"""Fused IN-list (membership) scan: ONE bitvector for a whole key set.
+
+Capability extension over the reference (which only offers per-predicate
+shared scans, src/simd_scan_shared.cpp): the common DB predicate
+``value IN (k_0 .. k_{K-1})`` needs a single match bitvector, not K of
+them.  Fusing the OR into the scan kernel cuts the write traffic from K
+bitvector rows to ONE — at K=8/width 9 that is 2.125 -> 1.25 bytes per
+value of total HBM traffic, so an IN-list runs ~1.7x faster than even the
+roofline-saturating shared scan, and the gap grows linearly with K.
+
+Tiers (static dispatch on the concrete key set, mirroring
+:func:`shared_simd_scan_tpu.ops.scan.shared_scan_device`):
+
+- consecutive run lo..lo+K-1: a single unsigned-subtract range compare per
+  value (``(v - lo) < K``) — reuses the range kernel
+  (:func:`scan.range_scan_tiles` with one [lo, lo+K) predicate);
+- clustered concrete keys: 32-aligned *window popmasks* — per window, one
+  variable shift builds the value's one-hot mask (as in the interval /
+  windowed kernels) and one AND against the window's 32-bit membership
+  mask tests all its keys at once; cost ~5 vector ops per (value, window)
+  regardless of how many keys the window holds;
+- anything else (spread or traced keys): an OR of equality compares
+  (~2 ops per (value, key)).
+
+Key sets too large to unroll in one kernel body ride a second grid
+dimension in chunks (of 32 keys / 32 windows); each chunk emits a partial
+member row and the OR + popcount runs outside in XLA — output traffic is
+``nchunks`` rows instead of K.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shared_simd_scan_tpu.layout import (
+    BLOCK_VALUES,
+    LANES,
+    DeviceColumn,
+)
+from shared_simd_scan_tpu.ops.scan import (
+    _onehot32,
+    _pick_tb,
+    _store_rows_tail_masked,
+    bits_to_canonical,
+    range_scan_tiles,
+    shift_saturates,
+)
+from shared_simd_scan_tpu.ops.unpack import _unpack_block_values
+
+# Unroll caps per kernel body: keys for the compare kernel, windows for the
+# popmask kernel.  Past these the chunked (partial-row) variants take over.
+_MAX_COMPARE_KEYS = 32
+_MAX_WINDOWS = 32
+
+
+def member_window_plan(keys) -> tuple[list[int], list[int]]:
+    """Concrete keys -> (window bases, window popmasks).
+
+    Windows are the 32-aligned value-domain intervals the keys touch;
+    ``popmask`` bit ``j`` is set iff ``base + j`` is in the key set.
+    Duplicate keys merge."""
+    arr = np.asarray(keys, dtype=np.uint32)
+    pops: dict[int, int] = {}
+    for key in arr.tolist():
+        base = key // 32 * 32
+        pops[base] = pops.get(base, 0) | (1 << (key - base))
+    bases = sorted(pops)
+    return bases, [pops[b] for b in bases]
+
+
+def _member_compare_kernel(
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, *, width, k, tb, n
+):
+    """Single grid dim: OR of k equality compares -> one member row.
+
+    Works with traced keys (k is static from the operand shape).  All
+    accumulation stays in uint32 (`acc |= where(cmp, bit, 0)` per term,
+    the same form as the shared-scan kernels) — chaining i1 mask vregs
+    (`hit |= cmp`) lowers poorly in Mosaic."""
+    i = pl.program_id(0)
+    acc = jnp.zeros((tb, LANES), jnp.uint32)
+    for r, v in _unpack_block_values(in_ref, width):
+        bit = jnp.uint32(1 << r)
+        for j in range(k):
+            acc = acc | jnp.where(v == keys_ref[j, 0], bit, jnp.uint32(0))
+    _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
+
+
+def _member_window_kernel(
+    off_ref, win_ref, in_ref, bits_ref, cnt_ref, *, width, nwin, tb, n, gateless
+):
+    """Single grid dim: per value, OR over windows of
+    ``(1 << (v - base_w)) & popmask_w != 0`` -> one member row."""
+    i = pl.program_id(0)
+    acc = jnp.zeros((tb, LANES), jnp.uint32)
+    for r, v in _unpack_block_values(in_ref, width):
+        bit = jnp.uint32(1 << r)
+        for w in range(nwin):
+            m = _onehot32(v - win_ref[w, 0], gateless) & win_ref[w, 1]
+            acc = acc | jnp.where(m != jnp.uint32(0), bit, jnp.uint32(0))
+    _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
+
+
+def _member_chunked_compare_kernel(
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, scratch, *, width, tb, n, krows
+):
+    """Grid (i, c): key chunk c ORs its krows compares into partial row c.
+
+    Values are unpacked once per block tile into VMEM scratch on the first
+    chunk (same structure as scan._shared_scan_chunked_kernel)."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _fill():
+        for r, v in _unpack_block_values(in_ref, width):
+            scratch[r] = v
+
+    acc = jnp.zeros((tb, LANES), jnp.uint32)
+    for r in range(BLOCK_VALUES):
+        v = scratch[r]
+        bit = jnp.uint32(1 << r)
+        for j in range(krows):
+            acc = acc | jnp.where(v == keys_ref[j, 0], bit, jnp.uint32(0))
+    _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
+
+
+def _member_chunked_window_kernel(
+    off_ref, win_ref, in_ref, bits_ref, cnt_ref, scratch, *,
+    width, tb, n, wrows, gateless,
+):
+    """Grid (i, c): window chunk c (wrows windows) -> partial row c."""
+    i = pl.program_id(0)
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _fill():
+        for r, v in _unpack_block_values(in_ref, width):
+            scratch[r] = v
+
+    acc = jnp.zeros((tb, LANES), jnp.uint32)
+    for r in range(BLOCK_VALUES):
+        v = scratch[r]
+        bit = jnp.uint32(1 << r)
+        for w in range(wrows):
+            m = _onehot32(v - win_ref[w, 0], gateless) & win_ref[w, 1]
+            acc = acc | jnp.where(m != jnp.uint32(0), bit, jnp.uint32(0))
+    _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
+
+
+def _member_tb(width: int, extra: int, b1: int, tb: int | None) -> int:
+    per_tb = 512 * (2 * width + 2 + extra)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    return _pick_tb(b1, tb if tb is not None else tb_auto)
+
+
+def _member_call(
+    kernel_fn, operand, op_rows: int, tiles, width, n, tb, interpret,
+    block_offset, nchunks: int = 1, scratch: bool = False,
+):
+    """Shared pallas_call plumbing for the four member kernels.
+
+    Emits bits (nchunks, B1, 128) — one partial row per key/window chunk
+    (nchunks == 1 for the single-call kernels) — plus per-step count
+    partials.  ``operand`` is the SMEM table ((op_rows, cols) uint32);
+    ``kernel_fn(tb)`` builds the kernel for the chosen sublane tile."""
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    extra = (32 if scratch else 0) + 8
+    tb = _member_tb(width, extra, b1, tb)
+    kernel = kernel_fn(tb)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    if nchunks == 1:
+        grid = (b1 // tb,)
+        in_ix = lambda i: (0, 0)  # noqa: E731
+        tile_ix = lambda i: (0, i, 0)  # noqa: E731
+        bits_ix = lambda i: (0, i, 0)  # noqa: E731
+        cnt_ix = lambda i: (i, 0, 0)  # noqa: E731
+    else:
+        grid = (b1 // tb, nchunks)
+        in_ix = lambda i, c: (0, 0)  # noqa: E731
+        tile_ix = lambda i, c: (0, i, 0)  # noqa: E731
+        bits_ix = lambda i, c: (c, i, 0)  # noqa: E731
+        cnt_ix = lambda i, c: (i, c, 0)  # noqa: E731
+    bits, cnt = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((nchunks, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, nchunks, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), in_ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (op_rows, operand.shape[1]),
+                (lambda i, c: (c, 0)) if nchunks > 1 else (lambda i: (0, 0)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec((width, tb, LANES), tile_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tb, LANES), bits_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), cnt_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)] if scratch else []
+        ),
+        interpret=interpret,
+    )(off, operand, tiles)
+    return bits, cnt
+
+
+def _or_rows(bits: jax.Array) -> jax.Array:
+    """OR the (nchunks, B1, 128) partial member rows into one row."""
+    return jax.lax.reduce(
+        bits, jnp.uint32(0), jax.lax.bitwise_or, (0,)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
+def _member_compare_tiles(tiles, keys2, width, n, tb, interpret, block_offset):
+    k = int(keys2.shape[0])
+    bits, cnt = _member_call(
+        lambda tbv: functools.partial(
+            _member_compare_kernel, width=width, k=k, tb=tbv, n=n
+        ),
+        keys2, k, tiles, width, n, tb, interpret, block_offset,
+    )
+    return bits[0], jnp.sum(cnt.astype(jnp.uint32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "tb", "interpret", "gateless")
+)
+def _member_window_tiles(tiles, win, width, n, tb, interpret, gateless, block_offset):
+    nwin = int(win.shape[0])
+    bits, cnt = _member_call(
+        lambda tbv: functools.partial(
+            _member_window_kernel, width=width, nwin=nwin, tb=tbv, n=n,
+            gateless=gateless,
+        ),
+        win, nwin, tiles, width, n, tb, interpret, block_offset,
+    )
+    return bits[0], jnp.sum(cnt.astype(jnp.uint32))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "tb", "interpret", "krows")
+)
+def _member_chunked_compare_tiles(
+    tiles, keys2, width, n, tb, interpret, krows, block_offset
+):
+    nchunks = keys2.shape[0] // krows
+    bits, _ = _member_call(
+        lambda tbv: functools.partial(
+            _member_chunked_compare_kernel, width=width, tb=tbv, n=n,
+            krows=krows,
+        ),
+        keys2, krows, tiles, width, n, tb, interpret, block_offset,
+        nchunks=nchunks, scratch=True,
+    )
+    # OR the chunk partials in XLA; count from the final row so duplicate
+    # keys across chunks can never double-count.
+    row = _or_rows(bits)
+    return row, jnp.sum(jax.lax.population_count(row).astype(jnp.uint32))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "n", "tb", "interpret", "wrows", "gateless"),
+)
+def _member_chunked_window_tiles(
+    tiles, win, width, n, tb, interpret, wrows, gateless, block_offset
+):
+    nchunks = win.shape[0] // wrows
+    bits, _ = _member_call(
+        lambda tbv: functools.partial(
+            _member_chunked_window_kernel, width=width, tb=tbv, n=n,
+            wrows=wrows, gateless=gateless,
+        ),
+        win, wrows, tiles, width, n, tb, interpret, block_offset,
+        nchunks=nchunks, scratch=True,
+    )
+    row = _or_rows(bits)
+    return row, jnp.sum(jax.lax.population_count(row).astype(jnp.uint32))
+
+
+def _consecutive_span(arr: np.ndarray) -> int | None:
+    """lo if the concrete keys are exactly the run lo..lo+k-1."""
+    if arr.size == 0:
+        return None
+    lo = int(arr[0])
+    return lo if (arr == lo + np.arange(arr.size, dtype=arr.dtype)).all() else None
+
+
+def member_scan_tiles(
+    tiles: jax.Array,
+    keys,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Membership scan -> (bits uint32[B1, 128], total count uint32).
+
+    ``bits.reshape(-1)[:bitvector_words(n)]`` is the canonical LSB-first
+    bitvector of ``value in keys``; the count is the number of matching
+    values (duplicate keys in the set count once).
+
+    The static dispatch inspects ``keys`` BEFORE any jnp conversion:
+    inside a jit trace ``jnp.asarray`` stages even a numpy constant into
+    a Tracer, which would silently demote concrete keys to the traced
+    fallback tier (measured 2.4x slower on the interval shape)."""
+    traced = isinstance(keys, jax.core.Tracer)
+    k = int(keys.shape[0] if traced else np.asarray(keys).shape[0])
+    if k < 1:
+        raise ValueError(f"member scan needs at least one key, got {k}")
+    if not traced:
+        arr = np.asarray(keys, dtype=np.uint32)
+        lo = _consecutive_span(arr)
+        if lo is not None:
+            # one unsigned range compare per value, for any k.  tb=256
+            # measured best on v5e at 512 MiB (633 GB/s vs 582 at the
+            # range kernel's inherited default of 512).
+            bits, cnt = range_scan_tiles(
+                tiles,
+                jnp.asarray([lo], jnp.uint32),
+                jnp.asarray([lo + k], jnp.uint32),
+                width, n, tb=tb if tb is not None else 256,
+                interpret=interpret, block_offset=block_offset,
+            )
+            return bits[0], cnt[0]
+        bases, pops = member_window_plan(arr)
+        nwin = len(bases)
+        # window tier costs ~5 ops per (value, window), compare ~2 per
+        # (value, key): windows win from ~2.5 keys per touched window
+        if 5 * nwin < 2 * k:
+            win = jnp.asarray(
+                np.stack([bases, pops], axis=1).astype(np.uint32)
+            )  # (nwin, 2)
+            gateless = shift_saturates(interpret=interpret)
+            if nwin <= _MAX_WINDOWS:
+                return _member_window_tiles(
+                    tiles, win, width, n, tb, interpret, gateless, block_offset
+                )
+            wrows = _MAX_WINDOWS
+            pad = (-nwin) % wrows
+            if pad:
+                # empty-popmask padding windows match nothing
+                win = jnp.concatenate(
+                    [win, jnp.zeros((pad, 2), jnp.uint32)], axis=0
+                )
+            return _member_chunked_window_tiles(
+                tiles, win, width, n, tb, interpret, wrows, gateless,
+                block_offset,
+            )
+    keys2 = jnp.asarray(keys, jnp.uint32).reshape(k, 1)
+    if k <= _MAX_COMPARE_KEYS:
+        return _member_compare_tiles(
+            tiles, keys2, width, n, tb, interpret, block_offset
+        )
+    krows = _MAX_COMPARE_KEYS
+    pad = (-k) % krows
+    if pad:
+        # unmatchable sentinel padding (values are < 2^width <= 2^31)
+        keys2 = jnp.concatenate(
+            [keys2, jnp.full((pad, 1), 0xFFFFFFFF, jnp.uint32)], axis=0
+        )
+    return _member_chunked_compare_tiles(
+        tiles, keys2, width, n, tb, interpret, krows, block_offset
+    )
+
+
+def member_scan_device(
+    dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """IN-list scan on a DeviceColumn -> ((W,) canonical bitvector words,
+    scalar match count)."""
+    bits, count = member_scan_tiles(
+        dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+    )
+    return bits_to_canonical(bits, dev.n), count
+
+
+__all__ = [
+    "member_scan_tiles",
+    "member_scan_device",
+    "member_window_plan",
+]

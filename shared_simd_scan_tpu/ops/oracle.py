@@ -93,6 +93,30 @@ def shared_scan(col: PackedColumn, predicate_keys) -> tuple[jax.Array, jax.Array
     return shared_scan_words(col.words, jnp.asarray(predicate_keys), col.width, col.n)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "n"))
+def member_scan_words(
+    words: jax.Array, predicate_keys: jax.Array, width: int, n: int
+) -> tuple[jax.Array, jax.Array]:
+    """IN-list membership scan -> (single bitvector words, total hit count).
+
+    Ground truth for ops.member: bit i set iff value i is in the key set
+    (duplicate keys count once — the bitvector is an OR).
+    """
+    vals = unpack_words(words, width, n)  # (n,)
+    keys = jnp.asarray(predicate_keys, jnp.uint32)  # (k,)
+    match = jnp.any(vals[None, :] == keys[:, None], axis=0)  # (n,)
+    bits = bitvector.from_bool(match)
+    return bits, jnp.sum(
+        jax.lax.population_count(bits).astype(jnp.uint32)
+    )
+
+
+def member_scan(col: PackedColumn, predicate_keys) -> tuple[jax.Array, jax.Array]:
+    return member_scan_words(
+        col.words, jnp.asarray(predicate_keys), col.width, col.n
+    )
+
+
 def shared_scan_linear(col: PackedColumn, predicate_keys) -> jax.Array:
     """Linear (interleaved) shared scan: one uint8 vector, byte layout
     ``out[group*k + key_id]`` for 8-value groups — byte-parity with

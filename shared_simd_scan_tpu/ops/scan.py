@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -229,8 +230,14 @@ def shared_scan_device(
       cost (2*windows + 5*subwindows per value, summed over its 32-row
       chunks) beats the compare kernels' 3*k;
     - otherwise: general static compare kernel (k <= 32) or the 32-key-
-      chunked static kernel (any k, keys may be traced)."""
-    keys = jnp.asarray(keys, jnp.uint32)
+      chunked static kernel (any k, keys may be traced).
+
+    The key inspection happens BEFORE any jnp conversion: inside a jit
+    trace ``jnp.asarray`` stages even a numpy constant into a Tracer,
+    which would silently demote concrete keys to the traced-fallback
+    compare tier."""
+    if not isinstance(keys, jax.core.Tracer):
+        keys = np.asarray(keys, dtype=np.uint32)
     k = int(keys.shape[0])
     lo = _consecutive_lo(keys)
     if lo is not None:

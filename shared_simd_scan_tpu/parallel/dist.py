@@ -165,9 +165,13 @@ def sharded_shared_scan(
     shared_scan_device` when the keys are concrete: a consecutive run goes
     to the interval kernel, a clustered set to the windowed kernel (cost
     rule), everything else to the compare kernels.
+
+    Keys are inspected BEFORE any jnp conversion — inside a jit trace
+    ``jnp.asarray`` stages even numpy constants into Tracers, which would
+    demote concrete keys to the traced compare tier.
     """
-    keys = jnp.asarray(keys, jnp.uint32)
     if not isinstance(keys, jax.core.Tracer):
+        keys = np.asarray(keys, dtype=np.uint32)
         k = int(keys.shape[0])
         lo = scan_ops._consecutive_lo(keys)
         if lo is not None:
@@ -291,4 +295,60 @@ def sharded_range_scan(
     return _sharded_range_scan_tiles(
         dev.tiles, lows, highs, mesh=mesh, width=dev.width, n=dev.n, tb=tb,
         interpret=interpret,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),
+)
+def _sharded_member_scan_tiles(
+    tiles, keys, *, mesh, keys_tuple, width, n, tb, interpret
+):
+    from shared_simd_scan_tpu.ops import member as member_ops
+
+    local_b1 = tiles.shape[1] // mesh.devices.size
+    # concrete keys (needed for the interval/window tiers) travel as a
+    # static tuple; traced keys as the ``keys`` operand (compare tiers)
+    keys_static = (
+        np.asarray(keys_tuple, np.uint32) if keys_tuple is not None else None
+    )
+
+    def local(tiles_l, keys_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = member_ops.member_scan_tiles(
+            tiles_l,
+            keys_static if keys_static is not None else keys_l,
+            width, n, tb=tb, interpret=interpret, block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, keys)
+
+
+def sharded_member_scan(
+    dev: DeviceColumn, keys, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """IN-list membership scan over a sharded column -> (bits uint32[B1, 128]
+    sharded along the block axis, total count psum-reduced).
+
+    Same tiering as the single-chip :func:`member_ops.member_scan_device`:
+    concrete keys dispatch statically (interval / window popmask tiers);
+    traced keys fall back to the compare tiers.  Keys are inspected
+    BEFORE any jnp conversion (see :func:`sharded_shared_scan`)."""
+    if isinstance(keys, jax.core.Tracer):
+        keys_tuple = None
+    else:
+        keys_tuple = tuple(int(x) for x in np.asarray(keys))
+        keys = jnp.asarray(np.asarray(keys, dtype=np.uint32))
+    return _sharded_member_scan_tiles(
+        dev.tiles, keys, mesh=mesh, keys_tuple=keys_tuple, width=dev.width,
+        n=dev.n, tb=tb, interpret=interpret,
     )
