@@ -89,9 +89,15 @@ def main(argv):
         fn = functools.partial(
             harness.chain_member_scan, width=WIDTH, n=n, tb=None, keys_tuple=keys
         )
+        # fold wall-time into the salt: the relay replays byte-identical
+        # submissions from its execution cache, so a rerun with a fixed
+        # salt would replay the previous run's timings instead of
+        # measuring fresh
+        import time as _time
+
         meas = measure_loop(
             fn, (dev.tiles,), trials=reps, est_iter_s=traffic / 650e9,
-            salt0=abs(hash((tier, k))) % 100000,
+            salt0=(abs(hash((tier, k))) + int(_time.time())) % 1_000_000,
         )
         gbs = traffic / meas.seconds / 1e9
         rows.append({

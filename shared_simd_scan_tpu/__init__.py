@@ -26,6 +26,10 @@ from shared_simd_scan_tpu.ops.scan import (  # noqa: F401
     interval_scan_device,
     range_scan_device,
 )
+from shared_simd_scan_tpu.ops.aggregate import (  # noqa: F401
+    aggregate_scan_device,
+    minmax_scan_device,
+)
 from shared_simd_scan_tpu.ops.member import (  # noqa: F401
     member_scan_device,
 )

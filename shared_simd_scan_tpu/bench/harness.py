@@ -248,6 +248,24 @@ def chain_member_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("k", "wp", "wm", "n", "tb", "kk"))
+def chain_aggregate_scan(ptiles, mtiles, salt, k, *, wp, wm, n, tb, kk):
+    """Fused filter+aggregate chain: per-key SUM/COUNT over a measure
+    column.  Keys vary per iteration via the salt (k static = kk)."""
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    keys0 = jnp.arange(kk, dtype=jnp.uint32)
+
+    def body(i, acc):
+        kv = keys0 + ((salt + jnp.uint32(i)) << 16)  # same workload, new bytes
+        counts, slo, shi = agg_ops.aggregate_scan_tiles(
+            ptiles, mtiles, kv, wp, wm, n, tb=tb
+        )
+        return acc + jnp.sum(counts)
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
     def body(i, acc):
@@ -640,6 +658,58 @@ def bench_shared_scan(
         ),
         reps=reps,
     )
+
+
+def bench_aggregate(
+    data_size: int = DEFAULT_DATA_SIZE // 8,
+    reps: int = DEFAULT_REPETITIONS,
+    k: int = 8,
+    width: int = DEFAULT_WIDTH,
+    measure_width: int = 16,
+):
+    """Fused filter+aggregate driver (capability extension): per-key
+    SUM/COUNT over a measure column, one pass over two packed columns.
+
+    The synthesized value arrays are dropped after packing — two live
+    512 MiB columns plus their uint32 expansions exhaust device memory
+    through the relay."""
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    n = values_for(data_size, width)
+    pvals = synth_modk(n, k, width)
+    pdev = unpack_ops.pack_device_kernel(pvals, width)
+    pv = np.asarray(pvals)
+    del pvals
+    mvals = (
+        jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
+    ) & jnp.uint32((1 << measure_width) - 1)
+    mdev = unpack_ops.pack_device_kernel(mvals, measure_width)
+    mv = np.asarray(mvals).astype(np.uint64)
+    del mvals
+
+    roof = hbm_peak_bytes_per_s()
+    traffic = packed_nbytes(width, n) + packed_nbytes(measure_width, n)
+    res = _bench_variants(
+        [(
+            f"pallas aggregate scan k={k} (SUM+COUNT, wm={measure_width})",
+            chain_aggregate_scan,
+            (pdev.tiles, mdev.tiles),
+            dict(wp=width, wm=measure_width, n=n, tb=None, kk=k),
+            traffic,
+        )],
+        roof,
+        verify=None,
+        reps=reps,
+    )
+    keys = np.arange(k, dtype=np.uint32)
+    sums, counts = agg_ops.aggregate_scan_device(pdev, mdev, keys)
+    counts = np.asarray(counts)
+    ok = all(int(counts[j]) == int((pv == j).sum()) for j in range(k))
+    ok = ok and all(
+        int(sums[j]) == int(mv[pv == j].sum()) for j in range(min(k, 4))
+    )
+    print("    verification:", "ok" if ok else "FAILED")
+    return res
 
 
 def bench_pack(

@@ -1,0 +1,344 @@
+"""Fused filter + aggregate scan: per-key SUM/COUNT over a measure column.
+
+Capability extension over the reference (which stops at match bitvectors):
+the classic DB aggregate pushdown ``SELECT key, SUM(m), COUNT(*) FROM t
+WHERE p IN keys GROUP BY p`` evaluated in ONE pass over two packed
+columns — the predicate column is unpacked, compared against the key
+table, and the matching measure values are accumulated per key without
+ever materializing a bitvector or the decompressed columns.
+
+TPU-native design notes:
+
+- The VPU has no 64-bit lanes, so exact sums are built from **16-bit
+  split parts in uint32 accumulators** with statically provable
+  headroom: each (block, lane) element accumulates <= 32 values of a
+  part < 2^16 (< 2^21), the in-kernel sublane reduction adds <= 256 of
+  those (< 2^29 < 2^32), and the final cross-step reduction runs in
+  numpy uint64 on the host over the small per-step partial grid —
+  bit-exact for any n and width, no emulated wide math in the kernel.
+- Padding blocks are zero-filled; instead of masking every key's
+  accumulator, invalid values' *predicate* is rewritten once per value
+  slot to the unmatchable sentinel 0xFFFFFFFF, so every compare fails
+  for them (values are < 2^width <= 2^31).
+- k is a static jit specialization (k <= 32 unrolled, like the shared
+  scan static tier).
+
+Contract: ``aggregate_scan_device(pdev, mdev, keys)`` -> (sums uint64
+numpy (k,), counts uint32 (k,)).  The sums are host-finalized (exact);
+``aggregate_scan_tiles`` returns the device-side partials for callers
+composing inside jit (e.g. the sharded path).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shared_simd_scan_tpu.layout import (
+    BLOCK_VALUES,
+    LANES,
+    DeviceColumn,
+)
+from shared_simd_scan_tpu.ops.unpack import _pick_tb, _unpack_value_at
+
+MAX_KEYS = 32
+
+
+def _agg_kernel(
+    off_ref, keys_ref, p_ref, m_ref, cnt_ref, slo_ref, shi_ref, *,
+    wp, wm, k, tb, n, split,
+):
+    """One grid step: per-key counts + sum parts over a (tb, 128) block
+    tile.  Outputs are per-step partial rows (1, k, LANES)."""
+    i = pl.program_id(0)
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    g = off_ref[0, 0] + (i * tb + row) * LANES + lane  # global block id
+    valid = jnp.where(
+        g < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
+    )
+
+    # Accumulators are int32: every staged value is < 2^29 (16-bit part x
+    # 32 values x 256 sublanes) so signed arithmetic is exact, and Mosaic
+    # does not implement in-kernel reductions over unsigned ints.
+    cacc = [jnp.zeros((tb, LANES), jnp.int32) for _ in range(k)]
+    lacc = [jnp.zeros((tb, LANES), jnp.int32) for _ in range(k)]
+    hacc = [jnp.zeros((tb, LANES), jnp.int32) for _ in range(k)] if split else None
+    zero = jnp.int32(0)
+    for r in range(BLOCK_VALUES):
+        p = _unpack_value_at(p_ref, wp, r)
+        m = _unpack_value_at(m_ref, wm, r)
+        # invalid value slots: unmatchable predicate sentinel (2 ops,
+        # shared across all keys)
+        vbit = (valid >> jnp.uint32(r)) & jnp.uint32(1)
+        p = jnp.where(vbit == jnp.uint32(1), p, jnp.uint32(0xFFFFFFFF))
+        if split:
+            mlo = (m & jnp.uint32(0xFFFF)).astype(jnp.int32)
+            mhi = (m >> jnp.uint32(16)).astype(jnp.int32)
+        else:
+            mlo = m.astype(jnp.int32)
+        for j in range(k):
+            match = p == keys_ref[j, 0]
+            cacc[j] = cacc[j] + jnp.where(match, jnp.int32(1), zero)
+            lacc[j] = lacc[j] + jnp.where(match, mlo, zero)
+            if split:
+                hacc[j] = hacc[j] + jnp.where(match, mhi, zero)
+
+    for j in range(k):
+        cnt_ref[0, j] = jnp.sum(cacc[j], axis=0)
+        slo_ref[0, j] = jnp.sum(lacc[j], axis=0)
+        shi_ref[0, j] = (
+            jnp.sum(hacc[j], axis=0) if split else jnp.zeros((LANES,), jnp.int32)
+        )
+
+
+def _agg_tb(wp: int, wm: int, k: int, b1: int, tb: int | None) -> int:
+    # double-buffered inputs + 3k live accumulators + transients, x512 B
+    per_tb = 512 * (2 * (wp + wm) + 3 * k + 8)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    return _pick_tb(b1, tb if tb is not None else tb_auto)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wp", "wm", "n", "tb", "interpret")
+)
+def aggregate_scan_tiles(
+    ptiles: jax.Array,
+    mtiles: jax.Array,
+    keys: jax.Array,
+    wp: int,
+    wm: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (counts uint32 (k,), sum_lo partials, sum_hi partials).
+
+    The partials are (steps, k, LANES) int32 (nonnegative; every element
+    is < 2^29 by construction, see module docstring, so the device-side
+    arithmetic never wraps).  Combine them exactly with
+    :func:`finalize_sums` (host, uint64)."""
+    _, b1, lanes = ptiles.shape
+    assert lanes == LANES
+    assert mtiles.shape[1] == b1, "predicate/measure columns must share n"
+    k = int(keys.shape[0])
+    if not (1 <= k <= MAX_KEYS):
+        raise ValueError(f"aggregate scan supports 1 <= k <= {MAX_KEYS}, got {k}")
+    split = wm > 16
+    tb = _agg_tb(wp, wm, k, b1, tb)
+    grid = (b1 // tb,)
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    cnt, slo, shi = pl.pallas_call(
+        functools.partial(
+            _agg_kernel, wp=wp, wm=wm, k=k, tb=tb, n=n, split=split
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (wp, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (wm, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(off, keys2, ptiles, mtiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return counts, slo, shi
+
+
+def _minmax_kernel(
+    off_ref, keys_ref, p_ref, m_ref, cnt_ref, min_ref, max_ref, *,
+    wp, wm, k, tb, n,
+):
+    """Per-key MIN/MAX of the measure column where the predicate matches.
+
+    Non-matching slots contribute the identity (int32 max for MIN — at or
+    above any in-domain value since wm <= 31 — and -1 for MAX); values
+    are < 2^31 so int32 order equals unsigned order and Mosaic's signed
+    reductions apply."""
+    i = pl.program_id(0)
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    g = off_ref[0, 0] + (i * tb + row) * LANES + lane
+    valid = jnp.where(
+        g < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
+    )
+
+    min_id = jnp.int32(0x7FFFFFFF)
+    max_id = jnp.int32(-1)
+    cacc = [jnp.zeros((tb, LANES), jnp.int32) for _ in range(k)]
+    mins = [jnp.full((tb, LANES), min_id, jnp.int32) for _ in range(k)]
+    maxs = [jnp.full((tb, LANES), max_id, jnp.int32) for _ in range(k)]
+    for r in range(BLOCK_VALUES):
+        p = _unpack_value_at(p_ref, wp, r)
+        m = _unpack_value_at(m_ref, wm, r).astype(jnp.int32)
+        vbit = (valid >> jnp.uint32(r)) & jnp.uint32(1)
+        p = jnp.where(vbit == jnp.uint32(1), p, jnp.uint32(0xFFFFFFFF))
+        for j in range(k):
+            match = p == keys_ref[j, 0]
+            cacc[j] = cacc[j] + jnp.where(match, jnp.int32(1), jnp.int32(0))
+            mins[j] = jnp.minimum(mins[j], jnp.where(match, m, min_id))
+            maxs[j] = jnp.maximum(maxs[j], jnp.where(match, m, max_id))
+
+    for j in range(k):
+        cnt_ref[0, j] = jnp.sum(cacc[j], axis=0)
+        min_ref[0, j] = jnp.min(mins[j], axis=0)
+        max_ref[0, j] = jnp.max(maxs[j], axis=0)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("wp", "wm", "n", "tb", "interpret")
+)
+def minmax_scan_tiles(
+    ptiles: jax.Array,
+    mtiles: jax.Array,
+    keys: jax.Array,
+    wp: int,
+    wm: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (counts uint32 (k,), min partials, max partials) — combine with
+    :func:`finalize_minmax`."""
+    _, b1, lanes = ptiles.shape
+    assert lanes == LANES
+    assert mtiles.shape[1] == b1, "predicate/measure columns must share n"
+    k = int(keys.shape[0])
+    if not (1 <= k <= MAX_KEYS):
+        raise ValueError(f"aggregate scan supports 1 <= k <= {MAX_KEYS}, got {k}")
+    tb = _agg_tb(wp, wm, k, b1, tb)
+    grid = (b1 // tb,)
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    cnt, mins, maxs = pl.pallas_call(
+        functools.partial(_minmax_kernel, wp=wp, wm=wm, k=k, tb=tb, n=n),
+        out_shape=(
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (wp, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (wm, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(off, keys2, ptiles, mtiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return counts, mins, maxs
+
+
+def finalize_minmax(mins, maxs, counts, wm: int):
+    """-> (min uint32 (k,), max uint32 (k,)) from the device partials.
+
+    Empty groups (count 0) report min = 2^wm (one above any in-domain
+    value) and max = 0."""
+    mn = np.asarray(mins).min(axis=(0, 2)).astype(np.int64)
+    mx = np.asarray(maxs).max(axis=(0, 2)).astype(np.int64)
+    cnt = np.asarray(counts)
+    mn = np.where(cnt == 0, np.int64(1) << wm, mn).astype(np.uint32)
+    mx = np.where(cnt == 0, 0, mx).astype(np.uint32)
+    return mn, mx
+
+
+def minmax_scan_device(
+    pdev: DeviceColumn,
+    mdev: DeviceColumn,
+    keys,
+    tb: int | None = None,
+    interpret: bool = False,
+):
+    """Per-key MIN/MAX of the measure column in one fused pass ->
+    (mins uint32 (k,), maxs uint32 (k,), counts uint32 (k,))."""
+    if pdev.n != mdev.n:
+        raise ValueError(
+            f"column lengths differ: predicate n={pdev.n}, measure n={mdev.n}"
+        )
+    keys = jnp.asarray(keys, jnp.uint32)
+    counts, mins, maxs = minmax_scan_tiles(
+        pdev.tiles, mdev.tiles, keys, pdev.width, mdev.width, pdev.n,
+        tb=tb, interpret=interpret,
+    )
+    mn, mx = finalize_minmax(mins, maxs, counts, mdev.width)
+    return mn, mx, counts
+
+
+def finalize_sums(slo, shi) -> np.ndarray:
+    """Exact per-key uint64 sums from the device partials (host numpy)."""
+    lo = np.asarray(slo).astype(np.uint64).sum(axis=(0, 2))
+    hi = np.asarray(shi).astype(np.uint64).sum(axis=(0, 2))
+    return (hi << np.uint64(16)) + lo
+
+
+def aggregate_scan_device(
+    pdev: DeviceColumn,
+    mdev: DeviceColumn,
+    keys,
+    tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[np.ndarray, jax.Array]:
+    """GROUP-BY-key aggregate over two packed columns in one fused pass:
+    -> (sums uint64 numpy (k,), counts uint32 (k,)).
+
+    ``sums[j]`` = exact sum of the measure column over rows where the
+    predicate column equals ``keys[j]``; ``counts[j]`` the row count.
+    Columns must have the same length n."""
+    if pdev.n != mdev.n:
+        raise ValueError(
+            f"column lengths differ: predicate n={pdev.n}, measure n={mdev.n}"
+        )
+    keys = jnp.asarray(keys, jnp.uint32)
+    counts, slo, shi = aggregate_scan_tiles(
+        pdev.tiles, mdev.tiles, keys, pdev.width, mdev.width, pdev.n,
+        tb=tb, interpret=interpret,
+    )
+    return finalize_sums(slo, shi), counts
+
+
+__all__ = [
+    "aggregate_scan_tiles",
+    "aggregate_scan_device",
+    "minmax_scan_tiles",
+    "minmax_scan_device",
+    "finalize_sums",
+    "finalize_minmax",
+    "MAX_KEYS",
+]

@@ -117,6 +117,21 @@ def member_scan(col: PackedColumn, predicate_keys) -> tuple[jax.Array, jax.Array
     )
 
 
+def aggregate_scan(
+    pcol: PackedColumn, mcol: PackedColumn, predicate_keys
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Ground truth for ops.aggregate: per-key exact SUM/COUNT of the
+    measure column where the predicate column matches (host numpy)."""
+    import numpy as np
+
+    p = np.asarray(unpack(pcol))
+    m = np.asarray(unpack(mcol)).astype(np.uint64)
+    keys = np.asarray(predicate_keys, np.uint32)
+    sums = np.array([m[p == k].sum() for k in keys], np.uint64)
+    counts = np.array([(p == k).sum() for k in keys], np.uint32)
+    return sums, counts
+
+
 def shared_scan_linear(col: PackedColumn, predicate_keys) -> jax.Array:
     """Linear (interleaved) shared scan: one uint8 vector, byte layout
     ``out[group*k + key_id]`` for 8-value groups — byte-parity with

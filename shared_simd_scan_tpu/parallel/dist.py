@@ -299,6 +299,105 @@ def sharded_range_scan(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "wp", "wm", "n", "tb", "interpret")
+)
+def _sharded_aggregate_scan_tiles(
+    ptiles, mtiles, keys, *, mesh, wp, wm, n, tb, interpret
+):
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    local_b1 = ptiles.shape[1] // mesh.devices.size
+
+    def local(ptiles_l, mtiles_l, keys_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        counts, slo, shi = agg_ops.aggregate_scan_tiles(
+            ptiles_l, mtiles_l, keys_l, wp, wm, n, tb=tb,
+            interpret=interpret, block_offset=off,
+        )
+        return jax.lax.psum(counts, DATA_AXIS), slo, shi
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS, None), P()),
+        out_specs=(P(), P(DATA_AXIS, None, None), P(DATA_AXIS, None, None)),
+        check_vma=False,
+    )(ptiles, mtiles, keys)
+
+
+def sharded_aggregate_scan(
+    pdev: DeviceColumn, mdev: DeviceColumn, keys, mesh: Mesh,
+    tb: int | None = None, interpret: bool = False,
+):
+    """Fused filter+aggregate over sharded columns -> (sums uint64 numpy
+    (k,), counts uint32 (k,) psum-reduced).
+
+    Per-shard sum partials stay sharded along the step axis; the exact
+    uint64 finalization gathers only the small partial grid to the host
+    (see ops.aggregate for the overflow-headroom argument)."""
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    if pdev.n != mdev.n:
+        raise ValueError(
+            f"column lengths differ: predicate n={pdev.n}, measure n={mdev.n}"
+        )
+    keys = jnp.asarray(keys, jnp.uint32)
+    counts, slo, shi = _sharded_aggregate_scan_tiles(
+        pdev.tiles, mdev.tiles, keys, mesh=mesh, wp=pdev.width,
+        wm=mdev.width, n=pdev.n, tb=tb, interpret=interpret,
+    )
+    return agg_ops.finalize_sums(slo, shi), counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "wp", "wm", "n", "tb", "interpret")
+)
+def _sharded_minmax_scan_tiles(
+    ptiles, mtiles, keys, *, mesh, wp, wm, n, tb, interpret
+):
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    local_b1 = ptiles.shape[1] // mesh.devices.size
+
+    def local(ptiles_l, mtiles_l, keys_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        counts, mins, maxs = agg_ops.minmax_scan_tiles(
+            ptiles_l, mtiles_l, keys_l, wp, wm, n, tb=tb,
+            interpret=interpret, block_offset=off,
+        )
+        return jax.lax.psum(counts, DATA_AXIS), mins, maxs
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS, None), P()),
+        out_specs=(P(), P(DATA_AXIS, None, None), P(DATA_AXIS, None, None)),
+        check_vma=False,
+    )(ptiles, mtiles, keys)
+
+
+def sharded_minmax_scan(
+    pdev: DeviceColumn, mdev: DeviceColumn, keys, mesh: Mesh,
+    tb: int | None = None, interpret: bool = False,
+):
+    """Fused per-key MIN/MAX over sharded columns -> (mins, maxs, counts)
+    (host-finalized, empty groups report 2^wm / 0)."""
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    if pdev.n != mdev.n:
+        raise ValueError(
+            f"column lengths differ: predicate n={pdev.n}, measure n={mdev.n}"
+        )
+    keys = jnp.asarray(keys, jnp.uint32)
+    counts, mins, maxs = _sharded_minmax_scan_tiles(
+        pdev.tiles, mdev.tiles, keys, mesh=mesh, wp=pdev.width,
+        wm=mdev.width, n=pdev.n, tb=tb, interpret=interpret,
+    )
+    mn, mx = agg_ops.finalize_minmax(mins, maxs, counts, mdev.width)
+    return mn, mx, counts
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),
 )
