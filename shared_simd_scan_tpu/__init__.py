@@ -25,6 +25,7 @@ from shared_simd_scan_tpu.ops.scan import (  # noqa: F401
     shared_scan_linear_device,
     interval_scan_device,
     range_scan_device,
+    histogram_device,
 )
 from shared_simd_scan_tpu.ops.aggregate import (  # noqa: F401
     aggregate_scan_device,

@@ -7,8 +7,9 @@ Usage (mirrors the reference's positional convention, ``_`` = default):
     data_size    packed payload bytes (suffixes k/m/g), default 500m
     repetitions  timing trials, default 5
     bench        memory | decompression | scan | sharedscan | pack |
-                 aggregate | scaling | all
+                 aggregate | histogram | scaling | all
     args         sharedscan/aggregate/scaling: predicate count k (default 8)
+                 histogram: key count k (default: full domain, <= 4096)
 
 With no arguments the full default suite runs, with sharedscan at
 data_size/8 — exactly the reference's no-arg behavior (main.cpp:75-102).
@@ -102,6 +103,9 @@ def main(argv: list[str] | None = None) -> int:
     elif bench == "aggregate":
         k = int(bench_args[0]) if bench_args else 8
         harness.bench_aggregate(data_size, reps, k, width)
+    elif bench == "histogram":
+        k = int(bench_args[0]) if bench_args else None
+        harness.bench_histogram(data_size, reps, k, width)
     elif bench == "scaling":
         from shared_simd_scan_tpu.bench.scaling import bench_scaling
 

@@ -267,6 +267,20 @@ def chain_aggregate_scan(ptiles, mtiles, salt, k, *, wp, wm, n, tb, kk):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
+def chain_histogram(tiles, salt, k, *, width, n, tb, kk):
+    """Counts-only histogram chain (kk keys from lo=0, full domain when
+    kk = 2^width).  Input-salted so every submission differs."""
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        counts = scan_ops.histogram_tiles(t, jnp.uint32(0), kk, width, n, tb=tb)
+        return t, acc + jnp.sum(counts)
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
     def body(i, acc):
         lo = (salt + jnp.uint32(i)) & jnp.uint32((1 << width) - 1)
@@ -708,6 +722,50 @@ def bench_aggregate(
     ok = ok and all(
         int(sums[j]) == int(mv[pv == j].sum()) for j in range(min(k, 4))
     )
+    print("    verification:", "ok" if ok else "FAILED")
+    return res
+
+
+def bench_histogram(
+    data_size: int = DEFAULT_DATA_SIZE // 8,
+    reps: int = DEFAULT_REPETITIONS,
+    k: int | None = None,
+    width: int = DEFAULT_WIDTH,
+):
+    """Counts-only value histogram (capability extension): the interval
+    kernel's mask+transpose with in-register popcount, no bitvector output.
+    Default k = full domain (2^width, capped at 4096).
+
+    Traffic counts the packed reads plus the per-step count partials —
+    at large k the partials are the dominant write stream, so excluding
+    them would overstate the roofline fraction."""
+    n = values_for(data_size, width)
+    vals = synth_ramp(n, width)  # uniform coverage of the whole domain
+    dev = unpack_ops.pack_device_kernel(vals, width)
+    if k is None:
+        k = min(1 << width, 4096)
+    roof = hbm_peak_bytes_per_s()
+    b1 = dev.tiles.shape[1]
+    traffic = packed_nbytes(width, n) + scan_ops.histogram_partials_nbytes(
+        b1, width, k
+    )
+    res = _bench_variants(
+        [(
+            f"pallas histogram k={k}",
+            chain_histogram,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, kk=k),
+            traffic,
+        )],
+        roof,
+        verify=None,
+        reps=reps,
+    )
+    counts = np.asarray(scan_ops.histogram_device(dev, k=k))
+    expect = np.bincount(
+        np.asarray(vals) % (1 << width), minlength=1 << width
+    )[:k].astype(np.uint32)
+    ok = bool((counts == expect).all())
     print("    verification:", "ok" if ok else "FAILED")
     return res
 

@@ -307,6 +307,8 @@ __all__ = [
     "shared_scan_device",
     "scan_device",
     "shared_scan_linear_device",
+    "histogram_tiles",
+    "histogram_device",
     "bits_to_canonical",
     "popcount_bits",
 ]
@@ -666,6 +668,202 @@ def interval_scan_device(
         dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret
     )
     return bits_to_canonical(bits, dev.n), counts
+
+
+# ---------------------------------------------------------------------------
+# Histogram: counts-only interval scan over the whole (or part of the) domain
+# ---------------------------------------------------------------------------
+#
+# A full value histogram (counts for every key lo..lo+k-1, k up to 4096)
+# cannot go through the bitvector kernels at large n*k — k=512 bitvectors
+# of a 512 MiB column would be 30 GB of output.  Dropping the bits store
+# makes the pass read-bound: the interval kernel's one-shot mask + SWAPMOVE
+# transpose produce the per-key words, which are popcounted and summed
+# in-register; only the tiny per-step count partials reach HBM.
+
+
+def _count_rows_tail_masked(off_ref, i, tb, n, rows, cnt_ref, base_row=0):
+    """Count-only analog of :func:`_store_rows_tail_masked`: popcount+sum
+    each row into cnt_ref, masking the validity tail only in the grid
+    step that contains it."""
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+
+    def _store(masked: bool):
+        if masked:
+            r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+            l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+            blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+            valid = jnp.where(
+                blk < full,
+                jnp.uint32(0xFFFFFFFF),
+                jnp.where(
+                    blk == full,
+                    jnp.uint32((1 << rem) - 1 if rem else 0),
+                    jnp.uint32(0),
+                ),
+            )
+        for j, word in enumerate(rows):
+            w = word & valid if masked else word
+            cnt_ref[0, base_row + j] = jnp.sum(
+                jax.lax.population_count(w).astype(jnp.int32), axis=0
+            )
+
+    tile_end = off_ref[0, 0] + (i + 1) * tb * LANES
+    needs_mask = tile_end > full
+    pl.when(needs_mask)(lambda: _store(True))
+    pl.when(jnp.logical_not(needs_mask))(lambda: _store(False))
+
+
+def _histogram_kernel(
+    off_ref, lo_ref, in_ref, cnt_ref, *scratch_refs,
+    width, tb, n, nchunks, gateless,
+):
+    """Grid step (i, c): 32-key chunk c of block tile i -> count partials
+    (1, 32, LANES).  Same mask/SWAPMOVE structure as the interval kernel,
+    no bits output."""
+    i = pl.program_id(0)
+    lo = lo_ref[0, 0]
+    if nchunks > 1:
+        c = pl.program_id(1)
+        scratch = scratch_refs[0]
+
+        @pl.when(c == 0)
+        def _fill():
+            for r, v in _unpack_block_values(in_ref, width):
+                scratch[r] = v
+
+        lo_c = lo + jnp.uint32(32) * c.astype(jnp.uint32)
+        ms = [_onehot32(scratch[r] - lo_c, gateless) for r in range(BLOCK_VALUES)]
+    else:
+        # materialize the 32 masks once: all four 8-key rounds reuse them
+        # (streaming would unpack every value 4x)
+        ms = [
+            _onehot32(v - lo, gateless)
+            for _, v in _unpack_block_values(in_ref, width)
+        ]
+
+    rows = []
+    for c8 in range(4):
+        x = []
+        for t in range(8):
+            acc = None
+            for g in range(4):
+                mb = _mask_byte(ms[8 * g + t], c8, g)
+                acc = mb if acc is None else acc | mb
+            x.append(acc)
+        rows.extend(_transpose8x8_bytes(x))
+
+    _count_rows_tail_masked(off_ref, i, tb, n, rows, cnt_ref)
+
+
+def _histogram_plan(b1: int, width: int, k: int, tb: int | None):
+    """tb / chunk-count selection shared by the kernel wrapper and the
+    bench driver (which needs it to compute the partials' HBM traffic)."""
+    nchunks = (k + 31) // 32
+    kpad = nchunks * 32
+    # live set: double-buffered input + 32 masks + 32 row words held
+    # simultaneously + scratch when chunked (measured: extra=16 OOM'd the
+    # 16 MB scoped vmem at tb=512 — the masks AND rows coexist)
+    extra = (32 if nchunks > 1 else 0) + 32 + 32 + 12
+    per_tb = 512 * (2 * width + extra)
+    tb_auto = min(512, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    return tb, nchunks, kpad
+
+
+def histogram_partials_nbytes(
+    b1: int, width: int, k: int, tb: int | None = None
+) -> int:
+    """HBM bytes written as per-grid-step count partials (the histogram's
+    only output traffic besides the final (k,) reduce)."""
+    tb, _, kpad = _histogram_plan(b1, width, k, tb)
+    return (b1 // tb) * kpad * LANES * 4
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "k", "tb", "interpret", "gateless")
+)
+def _histogram_tiles_impl(tiles, lo, k, width, n, tb, interpret, gateless,
+                          block_offset):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    tb, nchunks, kpad = _histogram_plan(b1, width, k, tb)
+    grid = (b1 // tb,) if nchunks == 1 else (b1 // tb, nchunks)
+    lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    if nchunks == 1:
+        ix = {
+            "smem": lambda i: (0, 0),
+            "in": lambda i: (0, i, 0),
+            "cnt": lambda i: (i, 0, 0),
+        }
+    else:
+        ix = {
+            "smem": lambda i, c: (0, 0),
+            "in": lambda i, c: (0, i, 0),
+            "cnt": lambda i, c: (i, c, 0),
+        }
+    cnt = pl.pallas_call(
+        functools.partial(
+            _histogram_kernel,
+            width=width, tb=tb, n=n, nchunks=nchunks, gateless=gateless,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), ix["smem"], memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), ix["smem"], memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), ix["in"], memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 32, LANES), ix["cnt"], memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)]
+            if nchunks > 1
+            else []
+        ),
+        interpret=interpret,
+    )(off, lo2, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return counts[:k]
+
+
+def histogram_tiles(
+    tiles: jax.Array,
+    lo,
+    k: int,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """Counts for the k consecutive keys lo..lo+k-1 WITHOUT materializing
+    bitvectors -> uint32 (k,).  k up to 4096 (chunks of 32 on a second
+    grid dimension); a full domain histogram is k = 2^width."""
+    if not (1 <= k <= 4096):
+        raise ValueError(f"histogram supports 1 <= k <= 4096, got {k}")
+    gateless = shift_saturates(interpret=interpret)
+    return _histogram_tiles_impl(
+        tiles, lo, k, width, n, tb, interpret, gateless, block_offset
+    )
+
+
+def histogram_device(
+    dev: DeviceColumn, lo=0, k: int | None = None,
+    tb: int | None = None, interpret: bool = False,
+) -> jax.Array:
+    """Value histogram of a packed column -> uint32 counts (k,), default
+    the full domain (k = 2^width, capped at 4096).  Read-bound: one pass
+    over the packed bytes, no bitvector output exists."""
+    if k is None:
+        k = min(1 << dev.width, 4096)
+    return histogram_tiles(
+        dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret
+    )
 
 
 # ---------------------------------------------------------------------------
