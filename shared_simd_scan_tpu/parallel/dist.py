@@ -398,6 +398,45 @@ def sharded_minmax_scan(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "width", "n", "tb", "interpret")
+)
+def _sharded_histogram_tiles(tiles, lo, *, mesh, k, width, n, tb, interpret):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, lo_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        counts = scan_ops.histogram_tiles(
+            tiles_l, lo_l, k, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return jax.lax.psum(counts, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=P(),
+        check_vma=False,
+    )(tiles, lo)
+
+
+def sharded_histogram(
+    dev: DeviceColumn, mesh: Mesh, lo=0, k: int | None = None,
+    tb: int | None = None, interpret: bool = False,
+) -> jax.Array:
+    """Counts-only value histogram over a sharded column -> uint32 (k,)
+    psum-reduced across the mesh (default the full domain, capped at 4096;
+    see :func:`scan_ops.histogram_device`)."""
+    if k is None:
+        k = min(1 << dev.width, 4096)
+    lo = jnp.asarray(lo, jnp.uint32)
+    return _sharded_histogram_tiles(
+        dev.tiles, lo, mesh=mesh, k=k, width=dev.width, n=dev.n, tb=tb,
+        interpret=interpret,
+    )
+
+
+@functools.partial(
     jax.jit,
     static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),
 )

@@ -97,6 +97,17 @@ def test_sharded_range_scan_parity(mesh):
         assert int(counts[j]) == int(expect.sum())
 
 
+def test_sharded_histogram_parity(mesh):
+    width, n = 9, 45_000
+    vals, col = _col(width, n, seed=23)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    counts = dist.sharded_histogram(sdev, mesh, interpret=True)
+    expect = np.bincount(vals, minlength=512).astype(np.uint32)
+    np.testing.assert_array_equal(np.asarray(counts), expect)
+    sub = dist.sharded_histogram(sdev, mesh, lo=20, k=16, interpret=True)
+    np.testing.assert_array_equal(np.asarray(sub), expect[20:36])
+
+
 def test_sharded_chunked_large_k_parity():
     # k>32 through the sharded path must route via the chunked kernel
     # and still match the oracle (counts psum'd across the virtual mesh)
