@@ -190,6 +190,16 @@ def chain_chunked_shared_scan(tiles, keys, salt, k, *, width, n, tb):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
+def chain_bitsliced_shared_scan(tiles, keys, salt, k, *, width, n, tb):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = scan_ops.shared_scan_bitsliced_tiles(tiles, kv, width, n, tb=tb)
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
 def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     def body(i, acc):
         kv = keys + ((salt + jnp.uint32(i)) << 16)

@@ -303,6 +303,7 @@ def popcount_bits(bits: jax.Array) -> jax.Array:
 __all__ = [
     "shared_scan_tiles",
     "shared_scan_chunked_tiles",
+    "shared_scan_bitsliced_tiles",
     "windowed_scan_tiles",
     "shared_scan_device",
     "scan_device",
@@ -1155,6 +1156,143 @@ def shared_scan_chunked_tiles(
             ),
         ),
         scratch_shapes=[pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)],
+        interpret=interpret,
+    )(off, keys2, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    if kpad != k:
+        bits, counts = bits[:k], counts[:k]
+    return bits, counts
+
+
+# ---------------------------------------------------------------------------
+# Bit-sliced shared scan: arbitrary keys at ~2*width ops per key per BLOCK
+# ---------------------------------------------------------------------------
+#
+# The compare kernels above pay ~3 vector ops per value per key (cmp +
+# select + or on 32 unpacked value vectors) — the counted-ops VPU lower
+# bound for the compare formulation, and the reason spread arbitrary keys
+# collapsed to ~170 GB/s at k >= 64.  The bit-sliced formulation changes
+# that bound: transpose each 32-value block into ``width`` bit-plane words
+# (plane p, bit r = bit p of value r — the BitWeaving/V decomposition,
+# done once per block tile into VMEM scratch), after which ONE key costs
+# ``width`` XORs + ``width`` ANDs on whole 32-value words:
+#
+#     match_word(key) = AND_p (plane_p XOR (bit_p(key) ? 0 : ~0))
+#
+# i.e. ~2*width/32 ops per value per key (0.56 at width 9) instead of 3 —
+# a ~5x lower compute ceiling, turning large arbitrary-key scans back
+# into HBM-bound kernels.  The transpose itself is the 5-stage SWAPMOVE
+# butterfly (80 swaps of 5 ops over the 32 unpacked value vectors; stages
+# feeding planes >= width are dead and pruned by Mosaic).  Keys may be
+# traced — nothing inspects their values — so this tier also replaces the
+# dynamic-k kernel for traced key sets.  Chunks of 32 keys ride the
+# second grid dimension exactly like the chunked kernel; out-of-domain
+# keys (>= 2^width, including the 0xFFFFFFFF padding sentinel) are killed
+# by a per-key scalar mask since only ``width`` planes are compared.
+
+
+def _transpose_bitplanes(vs):
+    """32 words of 32 values -> 32 bit-plane words (plane p, bit r = bit p
+    of vs[r]); callers keep planes [:width].  5-stage SWAPMOVE butterfly,
+    orientation chosen so no bit reversal is needed."""
+    x = list(vs)
+    j, m = 16, 0x0000FFFF
+    while j:
+        for i in range(BLOCK_VALUES):
+            if i & j == 0:
+                x[i], x[i + j] = _swapmove(x[i], x[i + j], m, j)
+        j >>= 1
+        if j:
+            m = m ^ ((m << j) & 0xFFFFFFFF)
+    return x
+
+
+def _shared_scan_bitsliced_kernel(
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, planes, *, width, tb, n, krows
+):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _fill():
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        ps = _transpose_bitplanes(vs)
+        for p in range(width):
+            planes[p] = ps[p]
+
+    dom = jnp.uint32(1 << width)
+    one = jnp.uint32(1)
+    rows = []
+    for j in range(krows):
+        key = keys_ref[j, 0]
+        # scalar plane masks: all-ones where bit p of key is 0 (uint32
+        # wraparound of (bit - 1)); whole-key kill mask for out-of-domain
+        # keys, which would otherwise alias key mod 2^width.
+        km = jnp.where(key < dom, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        acc = None
+        for p in range(width):
+            mask = ((key >> jnp.uint32(p)) & one) - one
+            term = planes[p] ^ mask
+            acc = term if acc is None else acc & term
+        rows.append(acc & km)
+
+    _store_rows_tail_masked(off_ref, pl.program_id(0), tb, n, rows, bits_ref, cnt_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
+def shared_scan_bitsliced_tiles(
+    tiles: jax.Array,
+    keys: jax.Array,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Same contract as shared_scan_tiles for any k; keys may be traced.
+    The fast arbitrary-key tier (see the bit-sliced design note above)."""
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = int(keys.shape[0])
+    krows = _interval_krows(k) if k > 32 else min(k, 32)
+    nchunks = (k + krows - 1) // krows
+    kpad = nchunks * krows
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    if kpad != k:
+        keys2 = jnp.concatenate(
+            [keys2, jnp.full((kpad - k, 1), 0xFFFFFFFF, jnp.uint32)], axis=0
+        )
+    # planes scratch (width) + accs (krows) + double-buffered in/out blocks
+    # + the transpose's ~32 transient value vectors on c == 0 steps
+    per_tb = 512 * (2 * width + 2 * krows + width + krows + 40)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb, nchunks)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(
+            _shared_scan_bitsliced_kernel, width=width, tb=tb, n=n, krows=krows
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((kpad, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, c: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((krows, 1), lambda i, c: (c, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i, c: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (krows, tb, LANES), lambda i, c: (c, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, krows, LANES), lambda i, c: (i, c, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((width, tb, LANES), jnp.uint32)],
         interpret=interpret,
     )(off, keys2, tiles)
     counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))

@@ -180,6 +180,82 @@ def test_chunked_dispatch_used_above_32():
     np.testing.assert_array_equal(np.asarray(bits), np.asarray(obits))
 
 
+@pytest.mark.parametrize("k", [1, 5, 8, 32, 33, 64, 100, 256])
+def test_bitsliced_shared_scan_parity(k):
+    # arbitrary spread keys through the bit-sliced (bit-plane) kernel,
+    # cross-checked against the oracle
+    width, n = 9, 50_000
+    vals = _rand_column(width, n, seed=k)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    keys = (np.arange(k, dtype=np.uint32) * 11 + 5) % (1 << width)
+    bits, counts = scan_ops.shared_scan_bitsliced_tiles(
+        dev.tiles, jnp.asarray(keys), width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+@pytest.mark.parametrize("width", [1, 3, 8, 16, 17, 31])
+def test_bitsliced_shared_scan_widths(width):
+    width_dom = min(1 << width, 1 << 16)
+    n, k = 20_000, 24
+    vals = _rand_column(width, n, seed=width)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    rng = np.random.default_rng(width)
+    keys = rng.integers(0, width_dom, k, dtype=np.uint32)
+    bits, counts = scan_ops.shared_scan_bitsliced_tiles(
+        dev.tiles, jnp.asarray(keys), width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_bitsliced_out_of_domain_and_padding():
+    # keys >= 2^width must match nothing (only width planes are compared,
+    # so without the kill mask key 512+v would alias v at width 9); key 0
+    # must not match zero-filled padding blocks
+    width, n = 9, 100
+    vals = _rand_column(width, n, seed=2)
+    dev = layout.pack_device(vals, width)
+    keys = np.array([0, 512, 513, int(vals[3]) + 512, 0xFFFFFFFF], np.uint32)
+    bits, counts = scan_ops.shared_scan_bitsliced_tiles(
+        dev.tiles, jnp.asarray(keys), width, n, interpret=True
+    )
+    assert int(counts[0]) == int((vals == 0).sum())
+    assert np.asarray(counts)[1:].sum() == 0
+    assert np.asarray(scan_ops.bits_to_canonical(bits, n))[1:].sum() == 0
+
+
+def test_bitsliced_traced_keys():
+    # nothing inspects key VALUES, so the kernel must work with keys
+    # produced inside a jit trace (the dynamic-kernel use case)
+    import jax
+
+    width, n, k = 9, 10_000, 48
+    vals = _rand_column(width, n, seed=7)
+    dev = layout.pack_device(vals, width)
+
+    @jax.jit
+    def run(base):
+        keys = (base + jnp.arange(k, dtype=jnp.uint32) * 13) % 512
+        return scan_ops.shared_scan_bitsliced_tiles(
+            dev.tiles, keys, width, n, interpret=True
+        )
+
+    _, counts = run(jnp.uint32(5))
+    keys = (5 + np.arange(k, dtype=np.uint32) * 13) % 512
+    for j in range(k):
+        assert int(counts[j]) == int((vals == keys[j]).sum())
+
+
 @pytest.mark.parametrize("spread", ["clustered", "spread", "dupes"])
 def test_windowed_scan_parity(spread):
     # arbitrary concrete keys via the 32-aligned-window kernel
