@@ -76,6 +76,10 @@ def configs(width: int, ks: list[int]):
                            x, kk, width, n), t, keys))
         nchunks = ((k + scan_ops._interval_krows(k) - 1)
                    // scan_ops._interval_krows(k)) if k > 32 else 1
+        yield (f"shared scan k={k} (bit-sliced keys)", io, nchunks,
+               lambda keys=keys: count_vector_ops(
+                   lambda x, kk: scan_ops.shared_scan_bitsliced_tiles(
+                       x, kk, width, n), t, keys))
         yield (f"shared scan k={k} (interval keys)", io, nchunks,
                lambda k=k: count_vector_ops(
                    lambda x: scan_ops.interval_scan_tiles(

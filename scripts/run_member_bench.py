@@ -1,7 +1,7 @@
 """Measured IN-list (membership) scan rows -> CSV.
 
 Times the member-scan dispatch tiers (interval / window popmask /
-compare / chunked) on the real chip and, for context, the per-query time
+compare / bit-sliced) on the real chip and, for context, the per-query time
 of the alternative a user would otherwise run (shared scan producing k
 bitvectors, OR'd afterwards — the OR pass cost is shown as the shared
 scan row's time plus one extra bitvector pass).
@@ -46,8 +46,9 @@ def cases():
             int(x)
             for x in np.concatenate([b + np.arange(8) for b in (0, 64, 128, 256)])
         )),
-        ("compare", 8, tuple(int(x) for x in (np.arange(8) * 61 + 3) % 512)),
-        ("chunked-compare", 100, tuple(
+        ("compare", 4, tuple(int(x) for x in (np.arange(4) * 61 + 3) % 512)),
+        ("bitsliced", 8, tuple(int(x) for x in (np.arange(8) * 61 + 3) % 512)),
+        ("bitsliced", 100, tuple(
             int(x) for x in np.unique((np.arange(100) * 37 + 11) % 512)
         )),
     ]

@@ -46,6 +46,7 @@ from shared_simd_scan_tpu.ops.scan import (
     _onehot32,
     _pick_tb,
     _store_rows_tail_masked,
+    _transpose_bitplanes,
     bits_to_canonical,
     range_scan_tiles,
     shift_saturates,
@@ -153,6 +154,74 @@ def _member_chunked_window_kernel(
     _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
 
 
+def _member_bitsliced_kernel(
+    off_ref, keys_ref, in_ref, bits_ref, cnt_ref, planes, *,
+    width, tb, n, krows, nchunks,
+):
+    """Grid (i[, c]): OR of krows bit-sliced key matches -> partial row c.
+
+    Same bit-plane decomposition as scan._shared_scan_bitsliced_kernel —
+    one 32-value block transposed into ``width`` plane words (VMEM
+    scratch, reused across key chunks), then each key is an XOR+AND fold
+    over the planes: ~(2*width+1)/32 ops per value per key instead of the
+    compare tier's ~3.  Keys may be traced; out-of-domain keys (incl. the
+    0xFFFFFFFF chunk padding sentinel) are killed by a scalar mask."""
+    def _fill():
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        ps = _transpose_bitplanes(vs)
+        for p in range(width):
+            planes[p] = ps[p]
+
+    if nchunks > 1:
+        pl.when(pl.program_id(1) == 0)(_fill)
+    else:
+        _fill()
+
+    dom = jnp.uint32(1 << width)
+    one = jnp.uint32(1)
+    acc = jnp.zeros((tb, LANES), jnp.uint32)
+    for j in range(krows):
+        key = keys_ref[j, 0]
+        km = jnp.where(key < dom, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        m = None
+        for p in range(width):
+            mask = ((key >> jnp.uint32(p)) & one) - one
+            term = planes[p] ^ mask
+            m = term if m is None else m & term
+        acc = acc | (m & km)
+    _store_rows_tail_masked(
+        off_ref, pl.program_id(0), tb, n, [acc], bits_ref, cnt_ref
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "tb", "interpret", "krows")
+)
+def _member_bitsliced_tiles(
+    tiles, keys2, width, n, tb, interpret, krows, block_offset
+):
+    nchunks = keys2.shape[0] // krows
+    bits, cnt = _member_call(
+        lambda tbv: functools.partial(
+            _member_bitsliced_kernel, width=width, tb=tbv, n=n,
+            krows=krows, nchunks=nchunks,
+        ),
+        keys2, krows, tiles, width, n, tb, interpret, block_offset,
+        nchunks=nchunks, scratch_rows=width,
+    )
+    if nchunks == 1:
+        return bits[0], jnp.sum(cnt.astype(jnp.uint32))
+    row = _or_rows(bits)
+    return row, jnp.sum(jax.lax.population_count(row).astype(jnp.uint32))
+
+
+def _bitsliced_member_wins(width: int, k: int) -> bool:
+    """Static cost rule, quarter-ops-per-value units: bit-sliced fixed
+    cost ~48 (unpack + SWAPMOVE transpose + plane stores) plus
+    (2*width+1)/8 per key, vs the compare tier's ~10 per key."""
+    return 48 + (2 * width + 1) * k // 8 < 10 * k
+
+
 def _member_tb(width: int, extra: int, b1: int, tb: int | None) -> int:
     per_tb = 512 * (2 * width + 2 + extra)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
@@ -161,17 +230,19 @@ def _member_tb(width: int, extra: int, b1: int, tb: int | None) -> int:
 
 def _member_call(
     kernel_fn, operand, op_rows: int, tiles, width, n, tb, interpret,
-    block_offset, nchunks: int = 1, scratch: bool = False,
+    block_offset, nchunks: int = 1, scratch_rows: int = 0,
 ):
-    """Shared pallas_call plumbing for the four member kernels.
+    """Shared pallas_call plumbing for the member kernels.
 
     Emits bits (nchunks, B1, 128) — one partial row per key/window chunk
     (nchunks == 1 for the single-call kernels) — plus per-step count
     partials.  ``operand`` is the SMEM table ((op_rows, cols) uint32);
-    ``kernel_fn(tb)`` builds the kernel for the chosen sublane tile."""
+    ``kernel_fn(tb)`` builds the kernel for the chosen sublane tile;
+    ``scratch_rows`` rows of (tb, LANES) uint32 VMEM scratch are passed to
+    the kernel when nonzero."""
     _, b1, lanes = tiles.shape
     assert lanes == LANES
-    extra = (32 if scratch else 0) + 8
+    extra = scratch_rows + 8
     tb = _member_tb(width, extra, b1, tb)
     kernel = kernel_fn(tb)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
@@ -208,7 +279,9 @@ def _member_call(
             pl.BlockSpec((1, 1, LANES), cnt_ix, memory_space=pltpu.VMEM),
         ),
         scratch_shapes=(
-            [pltpu.VMEM((BLOCK_VALUES, tb, LANES), jnp.uint32)] if scratch else []
+            [pltpu.VMEM((scratch_rows, tb, LANES), jnp.uint32)]
+            if scratch_rows
+            else []
         ),
         interpret=interpret,
     )(off, operand, tiles)
@@ -262,7 +335,7 @@ def _member_chunked_compare_tiles(
             krows=krows,
         ),
         keys2, krows, tiles, width, n, tb, interpret, block_offset,
-        nchunks=nchunks, scratch=True,
+        nchunks=nchunks, scratch_rows=BLOCK_VALUES,
     )
     # OR the chunk partials in XLA; count from the final row so duplicate
     # keys across chunks can never double-count.
@@ -284,7 +357,7 @@ def _member_chunked_window_tiles(
             wrows=wrows, gateless=gateless,
         ),
         win, wrows, tiles, width, n, tb, interpret, block_offset,
-        nchunks=nchunks, scratch=True,
+        nchunks=nchunks, scratch_rows=BLOCK_VALUES,
     )
     row = _or_rows(bits)
     return row, jnp.sum(jax.lax.population_count(row).astype(jnp.uint32))
@@ -338,9 +411,11 @@ def member_scan_tiles(
             return bits[0], cnt[0]
         bases, pops = member_window_plan(arr)
         nwin = len(bases)
-        # window tier costs ~5 ops per (value, window), compare ~2 per
-        # (value, key): windows win from ~2.5 keys per touched window
-        if 5 * nwin < 2 * k:
+        # quarter-ops-per-value costs: window tier ~20 per touched window,
+        # vs the best non-window tier (compare ~10 per key, bit-sliced
+        # 48 + (2*width+1)/8 per key)
+        alt = min(10 * k, 48 + (2 * width + 1) * k // 8)
+        if 20 * nwin < alt:
             win = jnp.asarray(
                 np.stack([bases, pops], axis=1).astype(np.uint32)
             )  # (nwin, 2)
@@ -361,6 +436,17 @@ def member_scan_tiles(
                 block_offset,
             )
     keys2 = jnp.asarray(keys, jnp.uint32).reshape(k, 1)
+    if _bitsliced_member_wins(width, k):
+        krows = min(k, _MAX_COMPARE_KEYS)
+        pad = (-k) % krows
+        if pad:
+            # out-of-domain sentinel padding, killed by the kernel's km mask
+            keys2 = jnp.concatenate(
+                [keys2, jnp.full((pad, 1), 0xFFFFFFFF, jnp.uint32)], axis=0
+            )
+        return _member_bitsliced_tiles(
+            tiles, keys2, width, n, tb, interpret, krows, block_offset
+        )
     if k <= _MAX_COMPARE_KEYS:
         return _member_compare_tiles(
             tiles, keys2, width, n, tb, interpret, block_offset

@@ -218,6 +218,22 @@ def _consecutive_lo(keys) -> int | None:
     return lo if (arr == lo + np.arange(k, dtype=arr.dtype)).all() else None
 
 
+def bitsliced_cost(width: int, k: int) -> int:
+    """Static cost of the bit-sliced kernel in the dispatch's
+    quarter-ops-per-value units: ~48 fixed (unpack + SWAPMOVE transpose +
+    plane stores, amortized over the key chunks of one block tile) plus
+    width/4 per key (2*width ops per 32-value word)."""
+    return 48 + width * k // 4
+
+
+def _bitsliced_wins(width: int, k: int) -> bool:
+    """Bit-sliced vs the general compare kernel (~12 per key + ~4 fixed
+    in quarter-ops-per-value units).  At width 9 this crosses at k=5;
+    measured v5e 64 MiB: k=8 550 vs 328 GB/s, k=16 608 vs 266 — and the
+    compare path only falls further behind as k grows."""
+    return bitsliced_cost(width, k) < 4 + 12 * k
+
+
 def shared_scan_device(
     dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
 ) -> tuple[jax.Array, jax.Array]:
@@ -227,10 +243,10 @@ def shared_scan_device(
     - consecutive run lo..lo+k-1 (the reference benchmark's own shape):
       the O(1)-in-k interval kernel;
     - concrete clustered keys, any k: the windowed kernel when its static
-      cost (2*windows + 5*subwindows per value, summed over its 32-row
-      chunks) beats the compare kernels' 3*k;
-    - otherwise: general static compare kernel (k <= 32) or the 32-key-
-      chunked static kernel (any k, keys may be traced).
+      cost beats both the compare kernels' and the bit-sliced kernel's;
+    - spread or traced keys past the cost crossover (k >= 5 at width 9):
+      the bit-sliced kernel (any k);
+    - otherwise: the general static compare kernel.
 
     The key inspection happens BEFORE any jnp conversion: inside a jit
     trace ``jnp.asarray`` stages even a numpy constant into a Tracer,
@@ -247,15 +263,13 @@ def shared_scan_device(
     elif (
         not isinstance(keys, jax.core.Tracer)
         and k >= 2
-        and windowed_cost(keys) < 12 * k
+        and windowed_cost(keys) < min(12 * k, bitsliced_cost(dev.width, k))
     ):
         bits, counts = windowed_scan_tiles(
             dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
         )
-    elif k > 32:
-        # large arbitrary key sets: 32-key-chunked static kernel (static
-        # compare block per grid step, any k, keys may be traced)
-        bits, counts = shared_scan_chunked_tiles(
+    elif _bitsliced_wins(dev.width, k):
+        bits, counts = shared_scan_bitsliced_tiles(
             dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
         )
     else:

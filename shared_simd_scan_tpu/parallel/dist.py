@@ -102,11 +102,11 @@ def _sharded_shared_scan_tiles(
 
     def local(tiles_l, keys_l):
         off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
-        # same tiering as shared_scan_device: 32-key-chunked static kernel
-        # above k=32 (works with the traced keys shard_map provides)
+        # same tiering as shared_scan_device: bit-sliced kernel past the
+        # cost crossover (works with the traced keys shard_map provides)
         fn = (
-            scan_ops.shared_scan_chunked_tiles
-            if int(keys_l.shape[0]) > 32
+            scan_ops.shared_scan_bitsliced_tiles
+            if scan_ops._bitsliced_wins(width, int(keys_l.shape[0]))
             else scan_ops.shared_scan_tiles
         )
         bits, cnt = fn(
@@ -179,7 +179,9 @@ def sharded_shared_scan(
                 dev.tiles, jnp.uint32(lo), mesh=mesh, k=k, width=dev.width,
                 n=dev.n, tb=tb, interpret=interpret,
             )
-        if k >= 2 and scan_ops.windowed_cost(keys) < 12 * k:
+        if k >= 2 and scan_ops.windowed_cost(keys) < min(
+            12 * k, scan_ops.bitsliced_cost(dev.width, k)
+        ):
             return _sharded_windowed_scan_tiles(
                 dev.tiles, mesh=mesh,
                 keys_tuple=tuple(int(x) for x in np.asarray(keys)),

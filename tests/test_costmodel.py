@@ -35,6 +35,23 @@ def test_interval_cheaper_than_general_at_k8():
     assert g["per_value"] > 20  # ~3 ops per (value, key) plus unpack
 
 
+def test_bitsliced_cheaper_than_compare_past_crossover():
+    # the dispatch rule (scan._bitsliced_wins, crossover k>=5 at w=9)
+    # must agree with the counted costs it models
+    t = _tiles(9)
+    n = t.shape[1] * 128 * 32
+    for k in (8, 32):
+        keys = jnp.arange(k, dtype=jnp.uint32) * 7 % 512
+        bs = count_vector_ops(
+            lambda x, kk: scan_ops.shared_scan_bitsliced_tiles(x, kk, 9, n),
+            t, keys)
+        g = count_vector_ops(
+            lambda x, kk: scan_ops.shared_scan_tiles(x, kk, 9, n), t, keys)
+        assert bs["per_value"] < g["per_value"], (k, bs, g)
+        assert scan_ops._bitsliced_wins(9, k)
+    assert not scan_ops._bitsliced_wins(9, 2)
+
+
 def test_chunked_count_covers_one_chunk():
     t = _tiles(9)
     n = t.shape[1] * 128 * 32

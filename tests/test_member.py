@@ -86,6 +86,60 @@ def test_member_chunked_window_many_clusters():
     _check(vals, dev, keys, bits, count)
 
 
+@pytest.mark.parametrize("k", [8, 32, 100])
+def test_member_bitsliced_tier_spread(k):
+    # spread keys past the cost rule -> bit-sliced tier (single chunk at
+    # k <= 32, OR'd partial rows above)
+    width, n = 9, 25_000
+    vals, col = _col(width, n, seed=40 + k)
+    dev = layout.to_device(col)
+    keys = ((np.arange(k, dtype=np.uint32) * 37 + 11) % (1 << width)).astype(
+        np.uint32
+    )
+    assert member_ops._bitsliced_member_wins(width, k)
+    bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
+    _check(vals, dev, keys, bits, count)
+
+
+def test_member_bitsliced_direct_out_of_domain():
+    # the bit-sliced member kernel itself: out-of-domain keys (incl. the
+    # sentinel padding) match nothing, key 0 ignores padding blocks
+    width, n = 9, 100
+    vals, col = _col(width, n, seed=8)
+    dev = layout.to_device(col)
+    keys = np.array([0, 512, 700, 0xFFFFFFFF, int(vals[0])], np.uint32)
+    keys2 = jnp.asarray(keys).reshape(-1, 1)
+    bits, count = member_ops._member_bitsliced_tiles(
+        dev.tiles, keys2, width, n, None, True, keys.size, 0
+    )
+    expect = np.isin(vals, keys[keys < 512])
+    assert int(count) == int(expect.sum())
+    from shared_simd_scan_tpu.ops.scan import bits_to_canonical
+
+    got = np.asarray(bits_to_canonical(bits, n))
+    exp_words = np.zeros_like(got)
+    idx = np.nonzero(expect)[0]
+    np.bitwise_or.at(
+        exp_words, idx // 32, np.uint32(1) << (idx % 32).astype(np.uint32)
+    )
+    np.testing.assert_array_equal(got, exp_words)
+
+
+def test_member_bitsliced_traced_keys():
+    # traced spread keys of static size also route bit-sliced
+    width, n, k = 9, 9_000, 16
+    vals, col = _col(width, n, seed=9)
+    dev = layout.to_device(col)
+    keys = ((np.arange(k, dtype=np.uint32) * 53 + 2) % 512).astype(np.uint32)
+
+    @jax.jit
+    def run(ks):
+        return member_ops.member_scan_device(dev, ks, interpret=True)
+
+    bits, count = run(jnp.asarray(keys))
+    _check(vals, dev, keys, bits, count)
+
+
 def test_member_traced_keys_fall_back_to_compare():
     width, n = 9, 10_000
     vals, col = _col(width, n, seed=6)
