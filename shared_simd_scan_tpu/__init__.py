@@ -34,6 +34,10 @@ from shared_simd_scan_tpu.ops.aggregate import (  # noqa: F401
 from shared_simd_scan_tpu.ops.member import (  # noqa: F401
     member_scan_device,
 )
+from shared_simd_scan_tpu.ops.conj import (  # noqa: F401
+    conj_range_scan_device,
+    conj_eq_scan_device,
+)
 from shared_simd_scan_tpu.ops.unpack import (  # noqa: F401
     pack_device_kernel,
     unpack_device,

@@ -199,6 +199,23 @@ def chain_bitsliced_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "widths", "n", "tb"))
+def chain_conj_range_scan(tiles, lows, highs, salt, k, *, widths, n, tb):
+    """Fused multi-column conjunction chain (ops/conj.py).  The predicate
+    bounds shift with the salt (span preserved) so every iteration is a
+    distinct relay submission."""
+    from shared_simd_scan_tpu.ops import conj as conj_ops
+
+    def body(i, acc):
+        d = (salt + jnp.uint32(i)) & jnp.uint32(7)
+        _, cnt = conj_ops.conj_range_scan_tiles(
+            tiles, lows + d, highs + d, widths, n, tb=tb
+        )
+        return acc + cnt
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb"))
 def chain_dynamic_shared_scan(tiles, keys, salt, k, *, width, n, tb):
     def body(i, acc):

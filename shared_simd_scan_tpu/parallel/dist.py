@@ -492,3 +492,53 @@ def sharded_member_scan(
         dev.tiles, keys, mesh=mesh, keys_tuple=keys_tuple, width=dev.width,
         n=dev.n, tb=tb, interpret=interpret,
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "widths", "n", "tb", "interpret")
+)
+def _sharded_conj_range_scan_tiles(
+    tiles, lows, highs, *, mesh, widths, n, tb, interpret
+):
+    from shared_simd_scan_tpu.ops import conj as conj_ops
+
+    local_b1 = tiles[0].shape[1] // mesh.devices.size
+
+    def local(lows_l, highs_l, *tiles_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = conj_ops.conj_range_scan_tiles(
+            tiles_l, lows_l, highs_l, widths, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P()) + (P(None, DATA_AXIS, None),) * len(tiles),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )(lows, highs, *tiles)
+
+
+def sharded_conj_range_scan(
+    devs, lows, highs, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused AND of per-column range predicates over identically sharded
+    same-table columns -> (bits uint32[B1, 128] sharded along the block
+    axis, total count psum-reduced).  See ops.conj for the kernel."""
+    devs = list(devs)
+    n = devs[0].n
+    for d in devs:
+        if d.n != n:
+            raise ValueError(
+                f"conjunction columns must share n, got {d.n} != {n}"
+            )
+    return _sharded_conj_range_scan_tiles(
+        tuple(d.tiles for d in devs),
+        jnp.asarray(lows, jnp.uint32),
+        jnp.asarray(highs, jnp.uint32),
+        mesh=mesh, widths=tuple(d.width for d in devs), n=n, tb=tb,
+        interpret=interpret,
+    )
