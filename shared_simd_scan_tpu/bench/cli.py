@@ -7,8 +7,9 @@ Usage (mirrors the reference's positional convention, ``_`` = default):
     data_size    packed payload bytes (suffixes k/m/g), default 500m
     repetitions  timing trials, default 5
     bench        memory | decompression | scan | sharedscan | pack |
-                 aggregate | histogram | scaling | all
-    args         sharedscan/aggregate/scaling: predicate count k (default 8)
+                 member | conj | aggregate | histogram | scaling | all
+    args         sharedscan/member/aggregate/scaling: predicate count k
+                 (default 8); conj: column count m (default 2)
                  histogram: key count k (default: full domain, <= 4096)
 
 With no arguments the full default suite runs, with sharedscan at
@@ -100,6 +101,12 @@ def main(argv: list[str] | None = None) -> int:
         harness.bench_shared_scan(data_size, reps, k, width)
     elif bench == "pack":
         harness.bench_pack(data_size, reps, width)
+    elif bench == "member":
+        k = int(bench_args[0]) if bench_args else 8
+        harness.bench_member(data_size, reps, k, width)
+    elif bench == "conj":
+        m = int(bench_args[0]) if bench_args else 2
+        harness.bench_conj(data_size, reps, m, width)
     elif bench == "aggregate":
         k = int(bench_args[0]) if bench_args else 8
         harness.bench_aggregate(data_size, reps, k, width)

@@ -635,6 +635,15 @@ def bench_shared_scan(
                 traffic,
             ),
         ]
+    variants.append(
+        (
+            f"pallas bit-sliced shared scan k={k} (spread/traced-keys tier)",
+            chain_bitsliced_shared_scan,
+            (dev.tiles, keys),
+            dict(width=width, n=n, tb=None),
+            traffic,
+        )
+    )
     if k <= 1024:
         variants.append(
             (
@@ -795,6 +804,114 @@ def bench_histogram(
     ok = bool((counts == expect).all())
     print("    verification:", "ok" if ok else "FAILED")
     return res
+
+
+def bench_member(
+    data_size: int = DEFAULT_DATA_SIZE // 8,
+    reps: int = DEFAULT_REPETITIONS,
+    k: int = 8,
+    width: int = DEFAULT_WIDTH,
+):
+    """IN-list membership (capability extension): one fused bitvector per
+    key set, three key shapes exercising the dispatch tiers — consecutive
+    (range tier), clusters-of-8 (window popmask), spread (compare or
+    bit-sliced past the cost crossover)."""
+    n = values_for(data_size, width)
+    vals = synth_modk(n, k, width)
+    dev = unpack_ops.pack_device_kernel(vals, width)
+    roof = hbm_peak_bytes_per_s()
+    traffic = packed_nbytes(width, n) + layout.bitvector_words(n) * 4
+    dom = 1 << width
+    shapes = [("consecutive", tuple(i % dom for i in range(k)))]
+    if k >= 8:
+        nclust = (k + 7) // 8
+        stride = max(32, dom // max(nclust, 1))
+        clustered = tuple(
+            (c * stride + j) % dom for c in range(nclust) for j in range(8)
+        )[:k]
+        shapes.append(("clustered", clustered))
+    shapes.append(("spread", tuple(int(x) for x in (np.arange(k) * 61 + 3) % dom)))
+    variants = [
+        (
+            f"pallas member scan k={k} ({name} keys)",
+            chain_member_scan,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, keys_tuple=keys),
+            traffic,
+        )
+        for name, keys in shapes
+    ]
+    return _bench_variants(
+        variants,
+        roof,
+        verify=lambda: all(
+            check_member_scan(dev, jnp.asarray(np.asarray(keys, np.uint32)), vals)
+            for _, keys in shapes
+        ),
+        reps=reps,
+    )
+
+
+def bench_conj(
+    data_size: int = DEFAULT_DATA_SIZE // 8,
+    reps: int = DEFAULT_REPETITIONS,
+    m: int = 2,
+    width: int = DEFAULT_WIDTH,
+):
+    """Multi-column conjunctive scan (capability extension): AND of m
+    per-column range predicates in one fused pass.  ``data_size`` is the
+    per-column packed payload; traffic counts all m columns + one
+    bitvector.  Verified against an independent XLA evaluation of the
+    same WHERE clause."""
+    from shared_simd_scan_tpu.ops import conj as conj_ops
+
+    n = values_for(data_size, width)
+    devs = [
+        unpack_ops.pack_device_kernel(synth_modk(n, 8 + 3 * c, width), width)
+        for c in range(m)
+    ]
+    dom = 1 << width
+    lows = jnp.asarray([dom // 8] * m, jnp.uint32)
+    highs = jnp.asarray([dom - dom // 8] * m, jnp.uint32)
+    roof = hbm_peak_bytes_per_s()
+    traffic = m * packed_nbytes(width, n) + layout.bitvector_words(n) * 4
+    tiles = tuple(d.tiles for d in devs)
+    widths = tuple(d.width for d in devs)
+
+    def verify() -> bool:
+        bits, count = conj_ops.conj_range_scan_tiles(
+            tiles, lows, highs, widths, n
+        )
+        match = jnp.ones(n, bool)
+        for c in range(m):
+            v = unpack_ops.values_to_flat(
+                unpack_ops.unpack_tiles(devs[c].tiles, width), n
+            )
+            match = match & ((v >= lows[c]) & (v < highs[c]))
+        ok = int(count) == int(jnp.sum(match.astype(jnp.uint32)))
+        if ok:
+            from shared_simd_scan_tpu import bitvector
+
+            ok = bool(
+                jnp.all(
+                    scan_ops.bits_to_canonical(bits, n)
+                    == bitvector.from_bool(match)
+                )
+            )
+        if not ok:
+            print("    VERIFY FAILED: conjunction mismatch")
+        return ok
+
+    variants = [
+        (
+            f"pallas conj range scan m={m}",
+            chain_conj_range_scan,
+            (tiles, lows, highs),
+            dict(widths=widths, n=n, tb=None),
+            traffic,
+        )
+    ]
+    return _bench_variants(variants, roof, verify=verify, reps=reps)
 
 
 def bench_pack(
