@@ -47,6 +47,40 @@ def from_bool(mask: jax.Array) -> jax.Array:
     return jnp.sum(m << shifts[None, :], axis=1, dtype=jnp.uint32)
 
 
+def logical_and(*bits: jax.Array) -> jax.Array:
+    """AND of same-length bitvectors, word-wise (predicate composition:
+    ``a AND b AND ...`` over match bitvectors from any kernel tier)."""
+    out = jnp.asarray(bits[0]).astype(jnp.uint32)
+    for b in bits[1:]:
+        out = out & jnp.asarray(b).astype(jnp.uint32)
+    return out
+
+
+def logical_or(*bits: jax.Array) -> jax.Array:
+    """OR of same-length bitvectors, word-wise."""
+    out = jnp.asarray(bits[0]).astype(jnp.uint32)
+    for b in bits[1:]:
+        out = out | jnp.asarray(b).astype(jnp.uint32)
+    return out
+
+
+def logical_not(bits: jax.Array, n: int) -> jax.Array:
+    """NOT of a bitvector over n values; bits at i >= n stay zero (the
+    library-wide tail invariant — a plain word complement would set
+    them)."""
+    w = ~jnp.asarray(bits).astype(jnp.uint32)
+    if n % 32:
+        tail = jnp.uint32((1 << (n % 32)) - 1)
+        w = w.at[-1].set(w[-1] & tail)
+    return w
+
+
+def logical_andnot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """``a AND NOT b`` word-wise.  No tail masking needed: a's tail bits
+    are already zero by the library invariant."""
+    return jnp.asarray(a).astype(jnp.uint32) & ~jnp.asarray(b).astype(jnp.uint32)
+
+
 def popcount(bits: jax.Array) -> jax.Array:
     """Total set bits across the bitvector words (uint32; counts can
     exceed 2^31-1 for multi-billion-value columns at narrow widths)."""

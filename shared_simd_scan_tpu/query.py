@@ -1,0 +1,174 @@
+"""Predicate-tree query layer: compose column predicates, evaluate fused.
+
+Capability extension over the reference (whose API surface is one kernel
+call per predicate set: src/simd_scan.hpp:46-120): a small algebra of
+predicates over same-table packed columns —
+
+    Eq(col, key)        column == key
+    Range(col, lo, hi)  lo <= column < hi        (half-open)
+    In(col, keys)       column IN keys
+    And(*terms) / Or(*terms) / Not(term)
+
+— and ``evaluate(expr)`` which PLANS the tree onto the kernel tiers
+instead of evaluating leaf-by-leaf:
+
+- every Range/Eq conjunct of an And is merged per column (intersected
+  bounds) and the whole group runs as ONE fused multi-column pass
+  (ops.conj), reading each column once and writing one bitvector;
+- In leaves dispatch through the member-scan tiers (interval / window
+  popmask / compare / bit-sliced by static cost);
+- residual boolean structure (Or / Not / mixed subtrees) composes the
+  resulting bitvectors word-wise (bitvector.logical_*) — n/32 words per
+  node, noise next to the column passes.
+
+Predicate constants must be concrete (Python/numpy numbers), which is
+what enables the static tier dispatch; columns are DeviceColumns of the
+same n.  Returns (canonical bitvector words uint32[ceil(n/32)], count
+uint32) with the library-wide tail invariant (bits at i >= n are zero).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shared_simd_scan_tpu import bitvector
+from shared_simd_scan_tpu.layout import DeviceColumn
+from shared_simd_scan_tpu.ops import conj as conj_ops
+from shared_simd_scan_tpu.ops import member as member_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class Range:
+    """lo <= col < hi (half-open, unsigned)."""
+
+    col: DeviceColumn
+    lo: int
+    hi: int
+
+
+def Eq(col: DeviceColumn, key: int) -> Range:
+    """col == key: the degenerate range [key, key+1)."""
+    return Range(col, int(key), int(key) + 1)
+
+
+@dataclasses.dataclass(frozen=True)
+class In:
+    """col IN keys (concrete key set)."""
+
+    col: DeviceColumn
+    keys: tuple
+
+    def __init__(self, col: DeviceColumn, keys: Sequence[int]):
+        object.__setattr__(self, "col", col)
+        object.__setattr__(
+            self, "keys", tuple(int(k) for k in np.asarray(keys).ravel())
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class And:
+    terms: tuple
+
+    def __init__(self, *terms):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclasses.dataclass(frozen=True)
+class Or:
+    terms: tuple
+
+    def __init__(self, *terms):
+        object.__setattr__(self, "terms", tuple(terms))
+
+
+@dataclasses.dataclass(frozen=True)
+class Not:
+    term: object
+
+
+def _columns(expr) -> list[DeviceColumn]:
+    if isinstance(expr, (Range, In)):
+        return [expr.col]
+    if isinstance(expr, (And, Or)):
+        return [c for t in expr.terms for c in _columns(t)]
+    if isinstance(expr, Not):
+        return _columns(expr.term)
+    raise TypeError(f"not a query expression: {expr!r}")
+
+
+def _eval(expr, n: int, interpret: bool) -> jax.Array:
+    """-> canonical bitvector words for the subtree."""
+    if isinstance(expr, Range):
+        return _eval(And(expr), n, interpret)
+    if isinstance(expr, In):
+        if not expr.keys:
+            return jnp.zeros((n + 31) // 32, jnp.uint32)
+        bits, _ = member_ops.member_scan_device(
+            expr.col, np.asarray(expr.keys, np.uint32), interpret=interpret
+        )
+        return bits
+    if isinstance(expr, Not):
+        return bitvector.logical_not(_eval(expr.term, n, interpret), n)
+    if isinstance(expr, Or):
+        if not expr.terms:
+            return jnp.zeros((n + 31) // 32, jnp.uint32)
+        return bitvector.logical_or(
+            *[_eval(t, n, interpret) for t in expr.terms]
+        )
+    if isinstance(expr, And):
+        if not expr.terms:
+            return bitvector.logical_not(
+                jnp.zeros((n + 31) // 32, jnp.uint32), n
+            )
+        # merge every Range conjunct per column: intersected bounds, one
+        # fused multi-column pass for the whole group
+        bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
+        others = []
+        for t in expr.terms:
+            if isinstance(t, Range):
+                key = id(t.col)
+                if key in bounds:
+                    col, lo, hi = bounds[key]
+                    bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
+                else:
+                    bounds[key] = (t.col, t.lo, t.hi)
+            else:
+                others.append(t)
+        rows = []
+        if bounds:
+            groups = list(bounds.values())
+            if any(hi <= lo for _, lo, hi in groups):
+                # statically empty intersection on some column
+                return jnp.zeros((n + 31) // 32, jnp.uint32)
+            for at in range(0, len(groups), conj_ops.MAX_COLUMNS):
+                g = groups[at:at + conj_ops.MAX_COLUMNS]
+                bits, _ = conj_ops.conj_range_scan_device(
+                    [c for c, _, _ in g],
+                    np.asarray([lo for _, lo, _ in g], np.uint32),
+                    np.asarray([hi for _, _, hi in g], np.uint32),
+                    interpret=interpret,
+                )
+                rows.append(bits)
+        rows.extend(_eval(t, n, interpret) for t in others)
+        return bitvector.logical_and(*rows)
+    raise TypeError(f"not a query expression: {expr!r}")
+
+
+def evaluate(expr, interpret: bool = False) -> tuple[jax.Array, jax.Array]:
+    """Evaluate a predicate tree -> (canonical bitvector words, count)."""
+    cols = _columns(expr)
+    if not cols:
+        raise ValueError("query references no columns")
+    n = cols[0].n
+    for c in cols:
+        if c.n != n:
+            raise ValueError(f"query columns must share n, got {c.n} != {n}")
+    bits = _eval(expr, n, interpret)
+    return bits, bitvector.popcount(bits)
+
+
+__all__ = ["Eq", "Range", "In", "And", "Or", "Not", "evaluate"]

@@ -55,3 +55,32 @@ def test_match_indices_overflow_capacity():
     idx, count = bitvector.match_indices(bits, 50, size=10)
     assert int(count) == 50  # true count even when capacity is smaller
     assert list(np.asarray(idx)) == list(range(10))
+
+
+def test_logical_compose():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    n = 197  # deliberately not a multiple of 32
+    a = rng.random(n) < 0.4
+    b = rng.random(n) < 0.4
+    wa = bitvector.from_bool(jnp.asarray(a))
+    wb = bitvector.from_bool(jnp.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bitvector.logical_and(wa, wb), n)), a & b
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bitvector.logical_or(wa, wb), n)), a | b
+    )
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bitvector.logical_andnot(wa, wb), n)),
+        a & ~b,
+    )
+    nb = bitvector.logical_not(wb, n)
+    np.testing.assert_array_equal(np.asarray(bitvector.to_bool(nb, n)), ~b)
+    # tail invariant: bits at i >= n stay zero after NOT
+    assert int(np.asarray(nb)[-1] >> (n % 32)) == 0
+    # popcount composes
+    assert int(bitvector.popcount(bitvector.logical_or(wa, wb))) == int(
+        (a | b).sum()
+    )

@@ -1,0 +1,109 @@
+"""Query-layer tests: predicate trees vs direct numpy evaluation."""
+import numpy as np
+import pytest
+
+from shared_simd_scan_tpu import bitvector, layout, query as q
+
+
+def _col(width, n, seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    return vals, layout.to_device(layout.pack(vals, width))
+
+
+@pytest.fixture(scope="module")
+def table():
+    n = 20_000
+    a_vals, a = _col(9, n, 1)
+    b_vals, b = _col(12, n, 2)
+    c_vals, c = _col(7, n, 3)
+    return n, (a_vals, a), (b_vals, b), (c_vals, c)
+
+
+def _check(expr, expect, n):
+    bits, count = q.evaluate(expr, interpret=True)
+    assert int(count) == int(expect.sum())
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bits, n)), expect
+    )
+
+
+def test_fused_range_conjunction(table):
+    n, (av, a), (bv, b), _ = table
+    expr = q.And(q.Range(a, 100, 400), q.Range(b, 1000, 3000))
+    _check(expr, (av >= 100) & (av < 400) & (bv >= 1000) & (bv < 3000), n)
+
+
+def test_eq_is_degenerate_range(table):
+    n, (av, a), _, _ = table
+    _check(q.Eq(a, 7), av == 7, n)
+
+
+def test_same_column_ranges_intersect(table):
+    n, (av, a), _, _ = table
+    expr = q.And(q.Range(a, 50, 300), q.Range(a, 200, 511))
+    _check(expr, (av >= 200) & (av < 300), n)
+    # statically empty intersection -> all zeros without a kernel pass
+    bits, count = q.evaluate(
+        q.And(q.Range(a, 50, 100), q.Range(a, 300, 400)), interpret=True
+    )
+    assert int(count) == 0
+
+
+def test_in_or_not_composition(table):
+    n, (av, a), (bv, b), (cv, c) = table
+    expr = q.Or(
+        q.In(a, [3, 77, 200, 431]),
+        q.And(q.Range(b, 0, 500), q.Not(q.Eq(c, 10))),
+    )
+    expect = np.isin(av, [3, 77, 200, 431]) | ((bv < 500) & (cv != 10))
+    _check(expr, expect, n)
+
+
+def test_nested_not_tail_invariant(table):
+    n, (av, a), _, _ = table
+    bits, count = q.evaluate(q.Not(q.Eq(a, 0)), interpret=True)
+    assert int(count) == int((av != 0).sum())
+    if n % 32:
+        assert int(np.asarray(bits)[-1] >> (n % 32)) == 0
+
+
+def test_mixed_subtree_under_and(table):
+    n, (av, a), (bv, b), (cv, c) = table
+    expr = q.And(
+        q.Range(a, 0, 256),
+        q.In(c, list(range(20, 28))),
+        q.Or(q.Eq(b, 5), q.Range(b, 3000, 4000)),
+    )
+    expect = (
+        (av < 256)
+        & np.isin(cv, np.arange(20, 28))
+        & ((bv == 5) | ((bv >= 3000) & (bv < 4000)))
+    )
+    _check(expr, expect, n)
+
+
+def test_more_than_max_columns_ranges():
+    # > MAX_COLUMNS range conjuncts split into several fused passes
+    n = 6_000
+    cols = [_col(6, n, 10 + i) for i in range(10)]
+    expr = q.And(*[q.Range(d, 8, 56) for _, d in cols])
+    expect = np.ones(n, bool)
+    for v, _ in cols:
+        expect &= (v >= 8) & (v < 56)
+    _check(expr, expect, n)
+
+
+def test_mismatched_n_raises():
+    _, a = _col(9, 1_000, 20)
+    _, b = _col(9, 2_000, 21)
+    with pytest.raises(ValueError, match="share n"):
+        q.evaluate(q.And(q.Eq(a, 1), q.Eq(b, 2)), interpret=True)
+
+
+def test_empty_in_matches_nothing(table):
+    n, (av, a), _, _ = table
+    bits, count = q.evaluate(
+        q.Or(q.In(a, []), q.Eq(a, 3)), interpret=True
+    )
+    assert int(count) == int((av == 3).sum())
