@@ -29,7 +29,33 @@ K = 8
 DATA_SIZE = 512 * 1024 * 1024  # packed payload bytes
 
 
+def _wait_for_backend(budget_s: float = 2400.0) -> bool:
+    """The axon relay occasionally returns UNAVAILABLE for a stretch (a
+    failed init can itself block ~25 min inside jaxlib); retry within a
+    budget instead of zeroing the round on a transient outage."""
+    import time
+
+    deadline = time.monotonic() + budget_s
+    while True:
+        try:
+            jax.devices()
+            return True
+        except RuntimeError as e:
+            remaining = deadline - time.monotonic()
+            print(f"# backend unavailable ({e}); {remaining:.0f}s budget left",
+                  file=sys.stderr)
+            if remaining <= 60:
+                return False
+            time.sleep(60)
+
+
 def main() -> int:
+    if not _wait_for_backend():
+        print(json.dumps({"metric": "shared_scan_9bit_k8_hbm_bytes_per_s",
+                          "value": 0, "unit": "bytes/s/chip",
+                          "vs_baseline": 0.0,
+                          "error": "TPU backend unavailable"}))
+        return 1
     n = harness.values_for(DATA_SIZE, WIDTH)
     vals = harness.synth_modk(n, K, WIDTH)
     dev = unpack_ops.pack_device_kernel(vals, WIDTH)
