@@ -171,4 +171,122 @@ def evaluate(expr, interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     return bits, bitvector.popcount(bits)
 
 
-__all__ = ["Eq", "Range", "In", "And", "Or", "Not", "evaluate"]
+# ---------------------------------------------------------------------------
+# Sharded (multi-chip) evaluation
+# ---------------------------------------------------------------------------
+#
+# Same planning, over columns sharded along the block axis
+# (parallel.dist.shard_column): leaves run the sharded kernel wrappers and
+# return device-layout (B1, 128) bitvector tiles that STAY sharded; the
+# boolean composition is plain word-wise jnp on those sharded arrays, which
+# XLA executes shard-locally with no collective at all — only the final
+# popcount reduces over the mesh.  NOT must re-zero the padding blocks
+# (zero in every kernel output by the tail invariant, but a complement
+# would set them), hence the validity tile mask.
+
+
+def _valid_tile_mask(b1: int, n: int) -> jax.Array:
+    full, rem = n // 32, n % 32
+    blk = (
+        jnp.arange(b1, dtype=jnp.int32)[:, None] * 128
+        + jnp.arange(128, dtype=jnp.int32)[None, :]
+    )
+    return jnp.where(
+        blk < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(
+            blk == full,
+            jnp.uint32((1 << rem) - 1 if rem else 0),
+            jnp.uint32(0),
+        ),
+    )
+
+
+def _eval_sharded(expr, n: int, b1: int, mesh, interpret: bool) -> jax.Array:
+    from shared_simd_scan_tpu.parallel import dist
+
+    if isinstance(expr, Range):
+        return _eval_sharded(And(expr), n, b1, mesh, interpret)
+    if isinstance(expr, In):
+        if not expr.keys:
+            return jnp.zeros((b1, 128), jnp.uint32)
+        bits, _ = dist.sharded_member_scan(
+            expr.col, np.asarray(expr.keys, np.uint32), mesh,
+            interpret=interpret,
+        )
+        return bits
+    if isinstance(expr, Not):
+        inner = _eval_sharded(expr.term, n, b1, mesh, interpret)
+        return ~inner & _valid_tile_mask(b1, n)
+    if isinstance(expr, Or):
+        if not expr.terms:
+            return jnp.zeros((b1, 128), jnp.uint32)
+        rows = [_eval_sharded(t, n, b1, mesh, interpret) for t in expr.terms]
+        out = rows[0]
+        for r in rows[1:]:
+            out = out | r
+        return out
+    if isinstance(expr, And):
+        if not expr.terms:
+            return _valid_tile_mask(b1, n)
+        bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
+        others = []
+        for t in expr.terms:
+            if isinstance(t, Range):
+                key = id(t.col)
+                if key in bounds:
+                    col, lo, hi = bounds[key]
+                    bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
+                else:
+                    bounds[key] = (t.col, t.lo, t.hi)
+            else:
+                others.append(t)
+        rows = []
+        if bounds:
+            groups = list(bounds.values())
+            if any(hi <= lo for _, lo, hi in groups):
+                return jnp.zeros((b1, 128), jnp.uint32)
+            for at in range(0, len(groups), conj_ops.MAX_COLUMNS):
+                g = groups[at:at + conj_ops.MAX_COLUMNS]
+                bits, _ = dist.sharded_conj_range_scan(
+                    [c for c, _, _ in g],
+                    np.asarray([lo for _, lo, _ in g], np.uint32),
+                    np.asarray([hi for _, _, hi in g], np.uint32),
+                    mesh, interpret=interpret,
+                )
+                rows.append(bits)
+        rows.extend(
+            _eval_sharded(t, n, b1, mesh, interpret) for t in others
+        )
+        out = rows[0]
+        for r in rows[1:]:
+            out = out & r
+        return out
+    raise TypeError(f"not a query expression: {expr!r}")
+
+
+def evaluate_sharded(
+    expr, mesh, interpret: bool = False
+) -> tuple[jax.Array, jax.Array]:
+    """Evaluate a predicate tree over block-axis-sharded columns ->
+    (device-layout bits uint32[B1, 128], still sharded along the block
+    axis, total count uint32).  Columns must be sharded identically
+    (same ``dist.shard_column(·, mesh)``); use
+    ``ops.scan.bits_to_canonical(bits, n)`` to gather canonical words."""
+    cols = _columns(expr)
+    if not cols:
+        raise ValueError("query references no columns")
+    n = cols[0].n
+    b1 = cols[0].tiles.shape[1]
+    for c in cols:
+        if c.n != n:
+            raise ValueError(f"query columns must share n, got {c.n} != {n}")
+        if c.tiles.shape[1] != b1:
+            raise ValueError("query columns must be sharded identically")
+    bits = _eval_sharded(expr, n, b1, mesh, interpret)
+    return bits, bitvector.popcount(bits)
+
+
+__all__ = [
+    "Eq", "Range", "In", "And", "Or", "Not", "evaluate", "evaluate_sharded",
+]

@@ -107,3 +107,40 @@ def test_empty_in_matches_nothing(table):
         q.Or(q.In(a, []), q.Eq(a, 3)), interpret=True
     )
     assert int(count) == int((av == 3).sum())
+
+
+def test_evaluate_sharded_matches_numpy():
+    from shared_simd_scan_tpu.ops.scan import bits_to_canonical
+    from shared_simd_scan_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    n = 8 * 32 * 128 * 8 + 13
+    av, a = _col(9, n, 30)
+    bv, b = _col(11, n, 31)
+    sa, sb = dist.shard_column(a, mesh), dist.shard_column(b, mesh)
+    expr = q.And(
+        q.Range(sa, 50, 400),
+        q.Or(q.In(sb, [7, 99, 1500]), q.Not(q.Range(sb, 0, 1024))),
+    )
+    bits, count = q.evaluate_sharded(expr, mesh, interpret=True)
+    expect = ((av >= 50) & (av < 400)) & (
+        np.isin(bv, [7, 99, 1500]) | ~(bv < 1024)
+    )
+    assert int(count) == int(expect.sum())
+    got = np.asarray(bitvector.to_bool(bits_to_canonical(bits, n), n))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_evaluate_sharded_not_tail_stays_zero():
+    from shared_simd_scan_tpu.ops.scan import bits_to_canonical
+    from shared_simd_scan_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    n = 8 * 32 * 128 * 8 + 5
+    av, a = _col(9, n, 32)
+    sa = dist.shard_column(a, mesh)
+    bits, count = q.evaluate_sharded(q.Not(q.Eq(sa, 0)), mesh, interpret=True)
+    assert int(count) == int((av != 0).sum())
+    canon = np.asarray(bits_to_canonical(bits, n))
+    if n % 32:
+        assert int(canon[-1] >> (n % 32)) == 0
