@@ -333,11 +333,126 @@ def aggregate_scan_device(
     return finalize_sums(slo, shi), counts
 
 
+# ---------------------------------------------------------------------------
+# Masked aggregate: SUM/COUNT of the measure column over an arbitrary
+# match bitvector (the terminal op for any query-layer predicate tree:
+# SELECT SUM(m), COUNT(*) WHERE <expr>).
+# ---------------------------------------------------------------------------
+
+
+def _masked_agg_kernel(
+    m_ref, bits_ref, cnt_ref, slo_ref, shi_ref, *, wm, tb, n, split
+):
+    """One grid step: sum parts + count of measure values whose match bit
+    is set.  Relies on the library-wide tail invariant — bits at i >= n
+    are zero in every kernel/composition output — so no validity mask is
+    recomputed here."""
+    bw = bits_ref[...]
+    cnt_ref[0, 0] = jnp.sum(
+        jax.lax.population_count(bw).astype(jnp.int32), axis=0
+    )
+    lacc = jnp.zeros((tb, LANES), jnp.int32)
+    hacc = jnp.zeros((tb, LANES), jnp.int32) if split else None
+    zero = jnp.int32(0)
+    one = jnp.uint32(1)
+    for r in range(BLOCK_VALUES):
+        m = _unpack_value_at(m_ref, wm, r)
+        sel = ((bw >> jnp.uint32(r)) & one) == one
+        if split:
+            lacc = lacc + jnp.where(sel, (m & jnp.uint32(0xFFFF)).astype(jnp.int32), zero)
+            hacc = hacc + jnp.where(sel, (m >> jnp.uint32(16)).astype(jnp.int32), zero)
+        else:
+            lacc = lacc + jnp.where(sel, m.astype(jnp.int32), zero)
+    slo_ref[0, 0] = jnp.sum(lacc, axis=0)
+    shi_ref[0, 0] = (
+        jnp.sum(hacc, axis=0) if split else jnp.zeros((LANES,), jnp.int32)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("wm", "n", "tb", "interpret"))
+def masked_aggregate_tiles(
+    mtiles: jax.Array,
+    bits: jax.Array,
+    wm: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """-> (count uint32, sum_lo partials, sum_hi partials) of the measure
+    column over the set bits of a device-layout (B1, 128) bitvector row.
+    Finalize the sums with :func:`finalize_sums` (they are (steps, 1,
+    LANES) int32 partials with the same provable headroom as the keyed
+    aggregate)."""
+    _, b1, lanes = mtiles.shape
+    assert lanes == LANES
+    assert bits.shape == (b1, LANES), (
+        "bits must be the device-layout row matching the measure column"
+    )
+    split = wm > 16
+    tb = _agg_tb(wm, 0, 2, b1, tb)
+    grid = (b1 // tb,)
+    cnt, slo, shi = pl.pallas_call(
+        functools.partial(
+            _masked_agg_kernel, wm=wm, tb=tb, n=n, split=split
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b1 // tb, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, 1, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb, 1, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (wm, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((tb, LANES), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(mtiles, bits)
+    count = jnp.sum(cnt.astype(jnp.uint32))
+    return count, slo, shi
+
+
+def bits_from_canonical(words: jax.Array, b1: int) -> jax.Array:
+    """Canonical uint32 bitvector words -> device-layout (b1, 128) row
+    (the inverse of scan.bits_to_canonical; zero-padded)."""
+    w = jnp.asarray(words).astype(jnp.uint32)
+    pad = b1 * LANES - w.shape[0]
+    if pad:
+        w = jnp.concatenate([w, jnp.zeros(pad, jnp.uint32)])
+    return w.reshape(b1, LANES)
+
+
+def masked_aggregate_device(
+    mdev: DeviceColumn,
+    bits: jax.Array,
+    tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[np.ndarray, jax.Array]:
+    """SUM + COUNT of a measure column over an arbitrary match bitvector
+    (canonical words, e.g. from ``query.evaluate``): -> (sum uint64
+    scalar numpy, count uint32)."""
+    b1 = mdev.tiles.shape[1]
+    row = bits_from_canonical(bits, b1)
+    count, slo, shi = masked_aggregate_tiles(
+        mdev.tiles, row, mdev.width, mdev.n, tb=tb, interpret=interpret
+    )
+    return finalize_sums(slo, shi)[0], count
+
+
 __all__ = [
     "aggregate_scan_tiles",
     "aggregate_scan_device",
     "minmax_scan_tiles",
     "minmax_scan_device",
+    "masked_aggregate_tiles",
+    "masked_aggregate_device",
+    "bits_from_canonical",
     "finalize_sums",
     "finalize_minmax",
     "MAX_KEYS",

@@ -521,6 +521,46 @@ def _sharded_conj_range_scan_tiles(
     )(lows, highs, *tiles)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "wm", "n", "tb", "interpret")
+)
+def _sharded_masked_aggregate_tiles(
+    mtiles, bits, *, mesh, wm, n, tb, interpret
+):
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    def local(mtiles_l, bits_l):
+        count, slo, shi = agg_ops.masked_aggregate_tiles(
+            mtiles_l, bits_l, wm, n, tb=tb, interpret=interpret
+        )
+        return jax.lax.psum(count, DATA_AXIS), slo, shi
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(DATA_AXIS, None)),
+        out_specs=(P(), P(DATA_AXIS, None, None), P(DATA_AXIS, None, None)),
+        check_vma=False,
+    )(mtiles, bits)
+
+
+def sharded_masked_aggregate(
+    mdev: DeviceColumn, bits, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+):
+    """SUM + COUNT of a sharded measure column over a sharded device-layout
+    match bitvector (e.g. from ``query.evaluate_sharded``): -> (sum uint64
+    scalar numpy, count uint32).  Sum partials stay sharded until the
+    exact host finalize."""
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    count, slo, shi = _sharded_masked_aggregate_tiles(
+        mdev.tiles, bits, mesh=mesh, wm=mdev.width, n=mdev.n, tb=tb,
+        interpret=interpret,
+    )
+    return agg_ops.finalize_sums(slo, shi)[0], count
+
+
 def sharded_conj_range_scan(
     devs, lows, highs, mesh: Mesh, tb: int | None = None,
     interpret: bool = False,

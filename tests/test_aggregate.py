@@ -1,5 +1,6 @@
 """Fused filter+aggregate scan tests: exact per-key SUM/COUNT parity
 against the numpy oracle, split-accumulator widths, padding, sharding."""
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -155,3 +156,72 @@ def test_sharded_aggregate_matches_single_chip():
         if sel.size:
             assert int(mn[j]) == int(sel.min())
             assert int(mx[j]) == int(sel.max())
+
+
+@pytest.mark.parametrize("wm", [9, 16, 31])
+def test_masked_aggregate_parity_vs_numpy(wm):
+    rng = np.random.default_rng(50 + wm)
+    n = 20_000
+    mvals = rng.integers(0, 1 << wm, n, dtype=np.uint32)
+    mdev = layout.to_device(layout.pack(mvals, wm))
+    mask = rng.random(n) < 0.3
+    from shared_simd_scan_tpu import bitvector
+
+    bits = bitvector.from_bool(jnp.asarray(mask))
+    s, c = agg_ops.masked_aggregate_device(mdev, bits, interpret=True)
+    assert int(c) == int(mask.sum())
+    assert int(s) == int(mvals[mask].astype(np.uint64).sum())
+
+
+def test_masked_aggregate_from_query_tree():
+    # end-to-end: SELECT SUM(m), COUNT(*) WHERE <predicate tree>
+    from shared_simd_scan_tpu import query as q
+
+    rng = np.random.default_rng(60)
+    n = 30_000
+    pvals = rng.integers(0, 512, n, dtype=np.uint32)
+    mvals = rng.integers(0, 1 << 20, n, dtype=np.uint32)
+    pdev = layout.to_device(layout.pack(pvals, 9))
+    mdev = layout.to_device(layout.pack(mvals, 20))
+    bits, _ = q.evaluate(
+        q.Or(q.Range(pdev, 10, 50), q.In(pdev, [300, 301, 499])),
+        interpret=True,
+    )
+    s, c = agg_ops.masked_aggregate_device(mdev, bits, interpret=True)
+    mask = ((pvals >= 10) & (pvals < 50)) | np.isin(pvals, [300, 301, 499])
+    assert int(c) == int(mask.sum())
+    assert int(s) == int(mvals[mask].astype(np.uint64).sum())
+
+
+def test_masked_aggregate_tail_bits_zero_by_invariant():
+    # padding region contributes nothing because bits past n are zero
+    rng = np.random.default_rng(61)
+    n = 32 * 128 * 8 + 9
+    mvals = rng.integers(0, 1 << 16, n, dtype=np.uint32)
+    mdev = layout.to_device(layout.pack(mvals, 16))
+    from shared_simd_scan_tpu import bitvector
+
+    bits = bitvector.from_bool(jnp.ones(n, bool))
+    s, c = agg_ops.masked_aggregate_device(mdev, bits, interpret=True)
+    assert int(c) == n
+    assert int(s) == int(mvals.astype(np.uint64).sum())
+
+
+def test_sharded_masked_aggregate_matches_single_chip():
+    from shared_simd_scan_tpu import query as q
+    from shared_simd_scan_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    rng = np.random.default_rng(62)
+    n = 8 * 32 * 128 * 8 + 3
+    pvals = rng.integers(0, 512, n, dtype=np.uint32)
+    mvals = rng.integers(0, 1 << 24, n, dtype=np.uint32)
+    spdev = dist.shard_column(layout.to_device(layout.pack(pvals, 9)), mesh)
+    smdev = dist.shard_column(layout.to_device(layout.pack(mvals, 24)), mesh)
+    bits, _ = q.evaluate_sharded(
+        q.Range(spdev, 100, 300), mesh, interpret=True
+    )
+    s, c = dist.sharded_masked_aggregate(smdev, bits, mesh, interpret=True)
+    mask = (pvals >= 100) & (pvals < 300)
+    assert int(c) == int(mask.sum())
+    assert int(s) == int(mvals[mask].astype(np.uint64).sum())
