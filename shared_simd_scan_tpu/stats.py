@@ -1,0 +1,112 @@
+"""Column statistics from one histogram pass: quantiles, top-k, describe.
+
+Capability extension (the reference stops at match bitvectors): since the
+value domain of a width-w column is tiny (2^w <= 2^31, and <= 4096 for
+the single-pass histogram kernel), ORDER-statistics over billions of rows
+reduce to one read-bound histogram pass (ops.scan.histogram_tiles) plus
+O(domain) host/XLA post-processing — no sort, no second pass over n.
+
+For widths > 12 the histogram kernel caps at 4096 buckets per call; the
+helpers below loop the domain in 4096-value windows (2^w / 4096 passes,
+still O(1) memory and read-bound per pass).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shared_simd_scan_tpu.layout import DeviceColumn
+from shared_simd_scan_tpu.ops.scan import histogram_tiles
+
+_WINDOW = 4096
+
+
+def histogram_full(
+    dev: DeviceColumn, tb: int | None = None, interpret: bool = False
+) -> np.ndarray:
+    """Exact counts over the FULL domain (2^width,) as host numpy —
+    one kernel pass per 4096-value window."""
+    if dev.width > 20:
+        raise ValueError(
+            f"histogram statistics need 2^width buckets; width {dev.width} "
+            "would take 2^(w-12) kernel passes — supported up to width 20 "
+            "(256 passes)"
+        )
+    dom = 1 << dev.width
+    parts = []
+    for lo in range(0, dom, _WINDOW):
+        k = min(_WINDOW, dom - lo)
+        parts.append(
+            np.asarray(
+                jax.device_get(
+                    histogram_tiles(
+                        dev.tiles, jnp.uint32(lo), k, dev.width, dev.n,
+                        tb=tb, interpret=interpret,
+                    )
+                )
+            )
+        )
+    return np.concatenate(parts).astype(np.uint64)
+
+
+def quantiles(
+    dev: DeviceColumn,
+    qs,
+    tb: int | None = None,
+    interpret: bool = False,
+) -> np.ndarray:
+    """Exact empirical quantiles (lower interpolation: the smallest value
+    v with rank(v) >= ceil(q * n)) for q in ``qs``."""
+    counts = histogram_full(dev, tb=tb, interpret=interpret)
+    cum = np.cumsum(counts)
+    n = int(cum[-1])
+    out = []
+    for q in np.atleast_1d(np.asarray(qs, np.float64)):
+        if not (0.0 <= q <= 1.0):
+            raise ValueError(f"quantile out of range: {q}")
+        rank = max(1, int(np.ceil(q * n))) if n else 0
+        out.append(int(np.searchsorted(cum, rank)))
+    return np.asarray(out, np.uint32)
+
+
+def topk_values(
+    dev: DeviceColumn,
+    k: int,
+    tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """The k most frequent values -> (values uint32 (k,), counts uint64),
+    ordered by descending count (ties: smaller value first)."""
+    counts = histogram_full(dev, tb=tb, interpret=interpret)
+    k = min(k, counts.shape[0])
+    order = np.lexsort((np.arange(counts.shape[0]), -counts.astype(np.int64)))
+    top = order[:k]
+    return top.astype(np.uint32), counts[top]
+
+
+def describe(
+    dev: DeviceColumn, tb: int | None = None, interpret: bool = False
+) -> dict:
+    """min / max / mean / median / distinct-count summary, one pass."""
+    counts = histogram_full(dev, tb=tb, interpret=interpret)
+    nz = np.nonzero(counts)[0]
+    n = int(counts.sum())
+    if not nz.size:
+        return {"n": 0, "min": None, "max": None, "mean": None,
+                "median": None, "distinct": 0}
+    vals = nz.astype(np.uint64)
+    total = int((vals * counts[nz]).sum())
+    cum = np.cumsum(counts)
+    median = int(np.searchsorted(cum, (n + 1) // 2))
+    return {
+        "n": n,
+        "min": int(nz[0]),
+        "max": int(nz[-1]),
+        "mean": total / n,
+        "median": median,
+        "distinct": int(nz.size),
+    }
+
+
+__all__ = ["histogram_full", "quantiles", "topk_values", "describe"]
