@@ -144,3 +144,52 @@ def test_evaluate_sharded_not_tail_stays_zero():
     canon = np.asarray(bits_to_canonical(bits, n))
     if n % 32:
         assert int(canon[-1] >> (n % 32)) == 0
+
+
+def test_query_fuzz_random_trees():
+    # random predicate trees (depth <= 3) vs direct numpy evaluation
+    rng = np.random.default_rng(77)
+    n = 9_000
+    widths = (9, 12, 7)
+    cols = [_col(w, n, seed=100 + i) for i, w in enumerate(widths)]
+
+    def leaf():
+        i = rng.integers(len(cols))
+        v, d = cols[i]
+        w = widths[i]
+        dom = 1 << w
+        kind = rng.integers(3)
+        if kind == 0:
+            key = int(rng.integers(dom))
+            return q.Eq(d, key), v == key
+        if kind == 1:
+            lo, hi = sorted(int(x) for x in rng.integers(0, dom, 2))
+            return q.Range(d, lo, hi), (v >= lo) & (v < hi)
+        keys = rng.choice(dom, size=int(rng.integers(1, 12)), replace=False)
+        return q.In(d, keys), np.isin(v, keys)
+
+    def tree(depth):
+        if depth == 0 or rng.random() < 0.3:
+            return leaf()
+        kind = rng.integers(3)
+        if kind == 2:
+            e, m = tree(depth - 1)
+            return q.Not(e), ~m
+        terms = [tree(depth - 1) for _ in range(int(rng.integers(2, 4)))]
+        if kind == 0:
+            out = terms[0][1]
+            for _, m in terms[1:]:
+                out = out & m
+            return q.And(*[e for e, _ in terms]), out
+        out = terms[0][1]
+        for _, m in terms[1:]:
+            out = out | m
+        return q.Or(*[e for e, _ in terms]), out
+
+    for trial in range(12):
+        expr, expect = tree(3)
+        bits, count = q.evaluate(expr, interpret=True)
+        assert int(count) == int(expect.sum()), trial
+        np.testing.assert_array_equal(
+            np.asarray(bitvector.to_bool(bits, n)), expect, err_msg=str(trial)
+        )
