@@ -150,6 +150,7 @@ uint64_t sss_scan(const uint8_t* packed, uint64_t n, int width, uint32_t key,
                   uint8_t* bits_out) {
   const uint32_t mask = (width >= 32) ? 0xFFFFFFFFu : ((1u << width) - 1u);
   const uint64_t nbytes = (n + 7) / 8;
+  const uint64_t pbytes = (n * (uint64_t)width + 7) / 8;
   std::memset(bits_out, 0, nbytes);
   uint64_t hits = 0;
   const uint64_t chunk = 64;
@@ -159,6 +160,38 @@ uint64_t sss_scan(const uint8_t* packed, uint64_t n, int width, uint32_t key,
     const uint64_t lo = (uint64_t)c * chunk;
     const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
     const uint8_t* p = packed + lo * width / 8;
+#if defined(__AVX2__)
+    // AVX2 fast path: the unpack gather+srlv+AND (see sss_unpack) fused
+    // with cmpeq+movemask — the reference's own scan structure (scan_256,
+    // src/simd_scan.cpp:219-307) on this layout.  Same gather-safety
+    // bound as sss_unpack.
+    if (width <= 25 && hi - lo == 64 &&
+        lo * width / 8 + 7 * (uint64_t)width + ((7 * width) >> 3) + 4 <=
+            pbytes) {
+      const __m256i voff = _mm256_setr_epi32(
+          0, (1 * width) >> 3, (2 * width) >> 3, (3 * width) >> 3,
+          (4 * width) >> 3, (5 * width) >> 3, (6 * width) >> 3,
+          (7 * width) >> 3);
+      const __m256i vsh = _mm256_setr_epi32(
+          0, (1 * width) & 7, (2 * width) & 7, (3 * width) & 7,
+          (4 * width) & 7, (5 * width) & 7, (6 * width) & 7, (7 * width) & 7);
+      const __m256i vmask = _mm256_set1_epi32((int)mask);
+      const __m256i vkey = _mm256_set1_epi32((int)key);
+      uint64_t word = 0;
+      for (int g = 0; g < 8; ++g) {
+        const uint8_t* base = p + (uint64_t)g * width;
+        __m256i x = _mm256_i32gather_epi32((const int*)base, voff, 1);
+        x = _mm256_and_si256(_mm256_srlv_epi32(x, vsh), vmask);
+        const __m256i eq = _mm256_cmpeq_epi32(x, vkey);
+        const uint32_t m =
+            (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(eq));
+        word |= (uint64_t)m << (8 * g);  // lane j -> bit 8g+j, LSB-first
+      }
+      hits += (uint64_t)__builtin_popcountll(word);
+      std::memcpy(bits_out + lo / 8, &word, 8);
+      continue;
+    }
+#endif
     uint64_t acc = 0;
     int acc_bits = 0;
     uint64_t word = 0;  // chunk = 64 match bits
@@ -202,15 +235,59 @@ void sss_shared_scan(const uint8_t* packed, uint64_t n, int width,
 #else
     const int tid = 0, nth = 1;
 #endif
-    for (int64_t c = tid; c < nchunks; c += nth) {
+    const int kk = k < 64 ? k : 64;
+    uint64_t local_counts[64] = {0};
+    // contiguous chunk range per thread (better stream locality than
+    // round-robin); counts accumulate thread-locally, one atomic per key
+    const int64_t per = (nchunks + nth - 1) / nth;
+    const int64_t c0 = (int64_t)tid * per;
+    const int64_t c1 = (c0 + per < nchunks) ? c0 + per : nchunks;
+#if defined(__AVX2__)
+    const uint64_t pbytes = (n * (uint64_t)width + 7) / 8;
+    const __m256i voff = _mm256_setr_epi32(
+        0, (1 * width) >> 3, (2 * width) >> 3, (3 * width) >> 3,
+        (4 * width) >> 3, (5 * width) >> 3, (6 * width) >> 3,
+        (7 * width) >> 3);
+    const __m256i vsh = _mm256_setr_epi32(
+        0, (1 * width) & 7, (2 * width) & 7, (3 * width) & 7,
+        (4 * width) & 7, (5 * width) & 7, (6 * width) & 7, (7 * width) & 7);
+    const __m256i vmask = _mm256_set1_epi32((int)mask);
+    __m256i vkeys[64];
+    for (int j = 0; j < kk; ++j) vkeys[j] = _mm256_set1_epi32((int)keys[j]);
+#endif
+    for (int64_t c = c0; c < c1; ++c) {
       const uint64_t lo = (uint64_t)c * chunk;
       const uint64_t hi = (lo + chunk < n) ? lo + chunk : n;
       const uint8_t* p = packed + lo * width / 8;
+      uint64_t words[64];  // k <= 64 supported in one pass per chunk
+      for (int j = 0; j < kk; ++j) words[j] = 0;
+#if defined(__AVX2__)
+      // unpack each 8-value group ONCE (gather+srlv+AND), then
+      // cmpeq+movemask per key — the reference's shared_scan_256_standard
+      // structure (src/simd_scan_shared.cpp:295-330) on this layout
+      if (width <= 25 && hi - lo == 64 &&
+          lo * width / 8 + 7 * (uint64_t)width + ((7 * width) >> 3) + 4 <=
+              pbytes) {
+        for (int g = 0; g < 8; ++g) {
+          const uint8_t* base = p + (uint64_t)g * width;
+          __m256i x = _mm256_i32gather_epi32((const int*)base, voff, 1);
+          x = _mm256_and_si256(_mm256_srlv_epi32(x, vsh), vmask);
+          for (int j = 0; j < kk; ++j) {
+            const __m256i eq = _mm256_cmpeq_epi32(x, vkeys[j]);
+            const uint32_t m =
+                (uint32_t)_mm256_movemask_ps(_mm256_castsi256_ps(eq));
+            words[j] |= (uint64_t)m << (8 * g);
+          }
+        }
+        for (int j = 0; j < kk; ++j) {
+          std::memcpy(bits_out + (uint64_t)j * stride + lo / 8, &words[j], 8);
+          local_counts[j] += (uint64_t)__builtin_popcountll(words[j]);
+        }
+        continue;
+      }
+#endif
       uint64_t acc = 0;
       int acc_bits = 0;
-      uint64_t words[64];  // k <= 64 supported in one pass per chunk
-      const int kk = k < 64 ? k : 64;
-      for (int j = 0; j < kk; ++j) words[j] = 0;
       for (uint64_t i = lo; i < hi; ++i) {
         while (acc_bits < width) {
           acc |= (uint64_t)(*p++) << acc_bits;
@@ -225,9 +302,12 @@ void sss_shared_scan(const uint8_t* packed, uint64_t n, int width,
       const uint64_t tail = (hi - lo + 7) / 8;
       for (int j = 0; j < kk; ++j) {
         std::memcpy(bits_out + (uint64_t)j * stride + lo / 8, &words[j], tail);
-#pragma omp atomic
-        counts_out[j] += (uint64_t)__builtin_popcountll(words[j]);
+        local_counts[j] += (uint64_t)__builtin_popcountll(words[j]);
       }
+    }
+    for (int j = 0; j < kk; ++j) {
+#pragma omp atomic
+      counts_out[j] += local_counts[j];
     }
   }
   // k > 64: additional passes
