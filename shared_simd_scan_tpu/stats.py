@@ -23,10 +23,15 @@ _WINDOW = 4096
 
 
 def histogram_full(
-    dev: DeviceColumn, tb: int | None = None, interpret: bool = False
+    dev: DeviceColumn,
+    tb: int | None = None,
+    interpret: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Exact counts over the FULL domain (2^width,) as host numpy —
-    one kernel pass per 4096-value window."""
+    one kernel pass per 4096-value window.  With ``mesh`` the column must
+    be block-axis sharded (dist.shard_column) and each pass psum-reduces
+    over the devices."""
     if dev.width > 20:
         raise ValueError(
             f"histogram statistics need 2^width buckets; width {dev.width} "
@@ -37,16 +42,18 @@ def histogram_full(
     parts = []
     for lo in range(0, dom, _WINDOW):
         k = min(_WINDOW, dom - lo)
-        parts.append(
-            np.asarray(
-                jax.device_get(
-                    histogram_tiles(
-                        dev.tiles, jnp.uint32(lo), k, dev.width, dev.n,
-                        tb=tb, interpret=interpret,
-                    )
-                )
+        if mesh is not None:
+            from shared_simd_scan_tpu.parallel import dist
+
+            counts = dist.sharded_histogram(
+                dev, mesh, lo=lo, k=k, tb=tb, interpret=interpret
             )
-        )
+        else:
+            counts = histogram_tiles(
+                dev.tiles, jnp.uint32(lo), k, dev.width, dev.n,
+                tb=tb, interpret=interpret,
+            )
+        parts.append(np.asarray(jax.device_get(counts)))
     return np.concatenate(parts).astype(np.uint64)
 
 
@@ -55,10 +62,11 @@ def quantiles(
     qs,
     tb: int | None = None,
     interpret: bool = False,
+    mesh=None,
 ) -> np.ndarray:
     """Exact empirical quantiles (lower interpolation: the smallest value
     v with rank(v) >= ceil(q * n)) for q in ``qs``."""
-    counts = histogram_full(dev, tb=tb, interpret=interpret)
+    counts = histogram_full(dev, tb=tb, interpret=interpret, mesh=mesh)
     cum = np.cumsum(counts)
     n = int(cum[-1])
     out = []
@@ -75,10 +83,11 @@ def topk_values(
     k: int,
     tb: int | None = None,
     interpret: bool = False,
+    mesh=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """The k most frequent values -> (values uint32 (k,), counts uint64),
     ordered by descending count (ties: smaller value first)."""
-    counts = histogram_full(dev, tb=tb, interpret=interpret)
+    counts = histogram_full(dev, tb=tb, interpret=interpret, mesh=mesh)
     k = min(k, counts.shape[0])
     order = np.lexsort((np.arange(counts.shape[0]), -counts.astype(np.int64)))
     top = order[:k]
@@ -86,10 +95,11 @@ def topk_values(
 
 
 def describe(
-    dev: DeviceColumn, tb: int | None = None, interpret: bool = False
+    dev: DeviceColumn, tb: int | None = None, interpret: bool = False,
+    mesh=None,
 ) -> dict:
     """min / max / mean / median / distinct-count summary, one pass."""
-    counts = histogram_full(dev, tb=tb, interpret=interpret)
+    counts = histogram_full(dev, tb=tb, interpret=interpret, mesh=mesh)
     nz = np.nonzero(counts)[0]
     n = int(counts.sum())
     if not nz.size:

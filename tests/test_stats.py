@@ -67,3 +67,17 @@ def test_width_guard():
     object.__setattr__(dev, "width", 31)
     with pytest.raises(ValueError, match="width 31"):
         stats.histogram_full(dev, interpret=True)
+
+
+def test_histogram_full_sharded_matches():
+    from shared_simd_scan_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    vals, dev = _col(9, 8 * 32 * 128 * 8 + 7, seed=7)
+    sdev = dist.shard_column(dev, mesh)
+    counts = stats.histogram_full(sdev, interpret=True, mesh=mesh)
+    np.testing.assert_array_equal(
+        counts, np.bincount(vals, minlength=512).astype(np.uint64)
+    )
+    d = stats.describe(sdev, interpret=True, mesh=mesh)
+    assert d["n"] == vals.size and d["min"] == int(vals.min())
