@@ -116,9 +116,47 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
     if isinstance(expr, Or):
         if not expr.terms:
             return jnp.zeros((n + 31) // 32, jnp.uint32)
-        return bitvector.logical_or(
-            *[_eval(t, n, interpret) for t in expr.terms]
+        # Range disjuncts group per column: ONE k-range pass per column
+        # (ops.scan.range_scan_tiles, <= 32 unrolled ranges per call)
+        # instead of one pass per range
+        by_col: dict[int, tuple[DeviceColumn, list]] = {}
+        others = []
+        for t in expr.terms:
+            if isinstance(t, Range) and t.lo < t.hi:
+                by_col.setdefault(id(t.col), (t.col, []))[1].append(
+                    (t.lo, t.hi)
+                )
+            elif isinstance(t, Range):
+                pass  # statically empty disjunct contributes nothing
+            else:
+                others.append(t)
+        rows = [_eval(t, n, interpret) for t in others]
+        from shared_simd_scan_tpu.ops.scan import (
+            bits_to_canonical,
+            range_scan_tiles,
         )
+
+        for col, spans in by_col.values():
+            if len(spans) == 1:
+                # single range: the conj kernel writes the one fused row
+                rows.append(_eval(And(Range(col, *spans[0])), n, interpret))
+                continue
+            for at in range(0, len(spans), 32):
+                g = spans[at:at + 32]
+                kbits, _ = range_scan_tiles(
+                    col.tiles,
+                    jnp.asarray([lo for lo, _ in g], jnp.uint32),
+                    jnp.asarray([hi for _, hi in g], jnp.uint32),
+                    col.width, n, interpret=interpret,
+                )
+                rows.append(
+                    bitvector.logical_or(
+                        *[bits_to_canonical(kbits[j], n) for j in range(len(g))]
+                    )
+                )
+        if not rows:
+            return jnp.zeros((n + 31) // 32, jnp.uint32)
+        return bitvector.logical_or(*rows)
     if isinstance(expr, And):
         if not expr.terms:
             return bitvector.logical_not(
@@ -221,7 +259,39 @@ def _eval_sharded(expr, n: int, b1: int, mesh, interpret: bool) -> jax.Array:
     if isinstance(expr, Or):
         if not expr.terms:
             return jnp.zeros((b1, 128), jnp.uint32)
-        rows = [_eval_sharded(t, n, b1, mesh, interpret) for t in expr.terms]
+        by_col: dict[int, tuple[DeviceColumn, list]] = {}
+        others = []
+        for t in expr.terms:
+            if isinstance(t, Range) and t.lo < t.hi:
+                by_col.setdefault(id(t.col), (t.col, []))[1].append(
+                    (t.lo, t.hi)
+                )
+            elif isinstance(t, Range):
+                pass  # statically empty disjunct
+            else:
+                others.append(t)
+        rows = [_eval_sharded(t, n, b1, mesh, interpret) for t in others]
+        for col, spans in by_col.values():
+            if len(spans) == 1:
+                rows.append(
+                    _eval_sharded(And(Range(col, *spans[0])), n, b1, mesh,
+                                  interpret)
+                )
+                continue
+            for at in range(0, len(spans), 32):
+                g = spans[at:at + 32]
+                kbits, _ = dist.sharded_range_scan(
+                    col,
+                    np.asarray([lo for lo, _ in g], np.uint32),
+                    np.asarray([hi for _, hi in g], np.uint32),
+                    mesh, interpret=interpret,
+                )
+                merged = kbits[0]
+                for j in range(1, len(g)):
+                    merged = merged | kbits[j]
+                rows.append(merged)
+        if not rows:
+            return jnp.zeros((b1, 128), jnp.uint32)
         out = rows[0]
         for r in rows[1:]:
             out = out | r

@@ -193,3 +193,51 @@ def test_query_fuzz_random_trees():
         np.testing.assert_array_equal(
             np.asarray(bitvector.to_bool(bits, n)), expect, err_msg=str(trial)
         )
+
+
+def test_or_of_ranges_fuses_per_column(table):
+    n, (av, a), (bv, b), _ = table
+    expr = q.Or(
+        q.Range(a, 10, 40),
+        q.Range(a, 100, 140),
+        q.Range(a, 300, 505),
+        q.Range(b, 0, 700),
+        q.Range(a, 450, 20),  # statically empty disjunct: ignored
+    )
+    expect = (
+        ((av >= 10) & (av < 40))
+        | ((av >= 100) & (av < 140))
+        | ((av >= 300) & (av < 505))
+        | (bv < 700)
+    )
+    _check(expr, expect, n)
+
+
+def test_or_of_many_ranges_chunks_past_32(table):
+    n, (av, a), _, _ = table
+    spans = [(8 * i, 8 * i + 3) for i in range(40)]  # 40 > 32 ranges
+    expr = q.Or(*[q.Range(a, lo, hi) for lo, hi in spans])
+    expect = np.zeros(n, bool)
+    for lo, hi in spans:
+        expect |= (av >= lo) & (av < hi)
+    _check(expr, expect, n)
+
+
+def test_sharded_or_of_ranges_fuses():
+    from shared_simd_scan_tpu.ops.scan import bits_to_canonical
+    from shared_simd_scan_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    n = 8 * 32 * 128 * 8 + 21
+    av, a = _col(9, n, 33)
+    sa = dist.shard_column(a, mesh)
+    expr = q.Or(q.Range(sa, 5, 30), q.Range(sa, 200, 260), q.Eq(sa, 400))
+    bits, count = q.evaluate_sharded(expr, mesh, interpret=True)
+    expect = (
+        ((av >= 5) & (av < 30))
+        | ((av >= 200) & (av < 260))
+        | (av == 400)
+    )
+    assert int(count) == int(expect.sum())
+    got = np.asarray(bitvector.to_bool(bits_to_canonical(bits, n), n))
+    np.testing.assert_array_equal(got, expect)
