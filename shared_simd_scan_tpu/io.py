@@ -53,6 +53,45 @@ def load_column(path) -> PackedColumn:
     return PackedColumn.from_bytes(payload, width, n)
 
 
+def save_table(columns: dict, dirpath) -> None:
+    """Persist a dict of named PackedColumns as a directory: one
+    ``<name>.sss`` file per column plus a ``MANIFEST.json`` recording
+    (name, width, n).  Columns must share n (one table)."""
+    import json
+
+    d = pathlib.Path(dirpath)
+    d.mkdir(parents=True, exist_ok=True)
+    ns = {c.n for c in columns.values()}
+    if len(ns) > 1:
+        raise ValueError(f"table columns must share n, got {sorted(ns)}")
+    manifest = {}
+    for name, col in columns.items():
+        if "/" in name or name.startswith("."):
+            raise ValueError(f"bad column name: {name!r}")
+        save_column(col, d / f"{name}.sss")
+        manifest[name] = {"width": col.width, "n": col.n}
+    (d / "MANIFEST.json").write_text(json.dumps(manifest, indent=1))
+
+
+def load_table(dirpath) -> dict:
+    """Load a table directory -> dict of named PackedColumns (validated
+    against the manifest)."""
+    import json
+
+    d = pathlib.Path(dirpath)
+    manifest = json.loads((d / "MANIFEST.json").read_text())
+    out = {}
+    for name, meta in manifest.items():
+        col = load_column(d / f"{name}.sss")
+        if col.width != meta["width"] or col.n != meta["n"]:
+            raise ValueError(
+                f"{name}: file disagrees with manifest "
+                f"({col.width}/{col.n} vs {meta['width']}/{meta['n']})"
+            )
+        out[name] = col
+    return out
+
+
 def save_bitvector(bits: jax.Array, n: int, path) -> None:
     """bits: canonical uint32 bitvector words for n values."""
     with open(path, "wb") as f:

@@ -66,3 +66,39 @@ def test_load_truncated_bitvector_raises(tmp_path):
     p.write_bytes(data[: len(data) - 10])
     with pytest.raises(ValueError, match="truncated"):
         sss_io.load_bitvector(p)
+
+
+def test_table_roundtrip(tmp_path):
+    rng = np.random.default_rng(9)
+    n = 5_000
+    cols = {
+        "price": layout.pack(rng.integers(0, 512, n, np.uint32), 9),
+        "region": layout.pack(rng.integers(0, 32, n, np.uint32), 5),
+    }
+    io.save_table(cols, tmp_path / "t")
+    loaded = io.load_table(tmp_path / "t")
+    assert set(loaded) == {"price", "region"}
+    for name in cols:
+        assert loaded[name].to_bytes() == cols[name].to_bytes()
+        assert loaded[name].width == cols[name].width
+
+
+def test_table_mixed_n_rejected(tmp_path):
+    import pytest as _pytest
+
+    a = layout.pack(np.arange(100, dtype=np.uint32) % 8, 3)
+    b = layout.pack(np.arange(200, dtype=np.uint32) % 8, 3)
+    with _pytest.raises(ValueError, match="share n"):
+        io.save_table({"a": a, "b": b}, tmp_path / "t2")
+
+
+def test_table_manifest_mismatch_detected(tmp_path):
+    a = layout.pack(np.arange(64, dtype=np.uint32) % 8, 3)
+    io.save_table({"a": a}, tmp_path / "t3")
+    # corrupt: overwrite the column with a different-width one
+    io.save_column(layout.pack(np.arange(64, dtype=np.uint32) % 8, 4),
+                   tmp_path / "t3" / "a.sss")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="disagrees"):
+        io.load_table(tmp_path / "t3")
