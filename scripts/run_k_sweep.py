@@ -89,7 +89,17 @@ def main(argv):
                              functools.partial(harness.chain_interval_scan,
                                                width=width, n=n, tb=None, kk=k),
                              (dev.tiles,), est))
-            if k <= 32:
+            # the dispatch tier for spread/traced arbitrary keys:
+            # bit-sliced past the cost crossover, static compare below
+            from shared_simd_scan_tpu.ops.scan import _bitsliced_wins
+
+            if _bitsliced_wins(width, k):
+                variants.append(("pallas general-key shared scan",
+                                 functools.partial(
+                                     harness.chain_bitsliced_shared_scan,
+                                     width=width, n=n, tb=None),
+                                 (dev.tiles, keys_full[:k]), est))
+            elif k <= 32:
                 variants.append(("pallas general-key shared scan",
                                  functools.partial(harness.chain_shared_scan,
                                                    width=width, n=n, tb=None),
