@@ -357,6 +357,94 @@ def evaluate_sharded(
     return bits, bitvector.popcount(bits)
 
 
+def _member_tier_name(keys: tuple, width: int) -> str:
+    """The tier member_scan_tiles will dispatch (same rules, read-only)."""
+    arr = np.asarray(keys, np.uint32)
+    if member_ops._consecutive_span(arr) is not None:
+        return "member:interval(range-compare)"
+    bases, _ = member_ops.member_window_plan(arr)
+    k = arr.shape[0]
+    alt = min(10 * k, 48 + (2 * width + 1) * k // 8)
+    if 20 * len(bases) < alt:
+        return f"member:window-popmask({len(bases)} windows)"
+    if member_ops._bitsliced_member_wins(width, k):
+        return "member:bit-sliced"
+    return "member:compare"
+
+
+def explain(expr, indent: str = "") -> str:
+    """Human-readable evaluation plan: which kernel tier each leaf/group
+    dispatches to and where bitvector composition happens.  Purely
+    static — nothing executes."""
+    if isinstance(expr, Range):
+        return explain(And(expr), indent)
+    if isinstance(expr, In):
+        if not expr.keys:
+            return f"{indent}constant: empty IN -> zeros"
+        return (f"{indent}{_member_tier_name(expr.keys, expr.col.width)} "
+                f"k={len(expr.keys)} [one pass, one bitvector]")
+    if isinstance(expr, Not):
+        return (f"{indent}NOT (word-wise complement, tail re-masked)\n"
+                + explain(expr.term, indent + "  "))
+    if isinstance(expr, (And, Or)):
+        op = "AND" if isinstance(expr, And) else "OR"
+        lines = [f"{indent}{op} (word-wise combine)"]
+        if isinstance(expr, And):
+            bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
+            others = []
+            for t in expr.terms:
+                if isinstance(t, Range):
+                    key = id(t.col)
+                    if key in bounds:
+                        col, lo, hi = bounds[key]
+                        bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
+                    else:
+                        bounds[key] = (t.col, t.lo, t.hi)
+                else:
+                    others.append(t)
+            groups = list(bounds.values())
+            if any(hi <= lo for _, lo, hi in groups):
+                return (f"{indent}constant: statically empty range "
+                        "intersection -> zeros")
+            for at in range(0, len(groups), conj_ops.MAX_COLUMNS):
+                g = groups[at:at + conj_ops.MAX_COLUMNS]
+                spans = ", ".join(f"[{lo},{hi})" for _, lo, hi in g)
+                lines.append(
+                    f"{indent}  conj:fused-range m={len(g)} {spans} "
+                    "[one pass over all columns, one bitvector]"
+                )
+            lines.extend(explain(t, indent + "  ") for t in others)
+        else:
+            by_col: dict[int, tuple[DeviceColumn, list]] = {}
+            others = []
+            for t in expr.terms:
+                if isinstance(t, Range) and t.lo < t.hi:
+                    by_col.setdefault(id(t.col), (t.col, []))[1].append(
+                        (t.lo, t.hi)
+                    )
+                elif isinstance(t, Range):
+                    lines.append(
+                        f"{indent}  constant: empty range disjunct dropped"
+                    )
+                else:
+                    others.append(t)
+            for col, spans in by_col.values():
+                if len(spans) == 1:
+                    lines.append(
+                        f"{indent}  conj:fused-range m=1 "
+                        f"[{spans[0][0]},{spans[0][1]}) [one pass]"
+                    )
+                else:
+                    lines.append(
+                        f"{indent}  range-scan k={len(spans)} ranges on one "
+                        "column [one pass, rows OR'd]"
+                    )
+            lines.extend(explain(t, indent + "  ") for t in others)
+        return "\n".join(lines)
+    raise TypeError(f"not a query expression: {expr!r}")
+
+
 __all__ = [
     "Eq", "Range", "In", "And", "Or", "Not", "evaluate", "evaluate_sharded",
+    "explain",
 ]

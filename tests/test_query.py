@@ -241,3 +241,25 @@ def test_sharded_or_of_ranges_fuses():
     assert int(count) == int(expect.sum())
     got = np.asarray(bitvector.to_bool(bits_to_canonical(bits, n), n))
     np.testing.assert_array_equal(got, expect)
+
+
+def test_explain_names_tiers(table):
+    n, (av, a), (bv, b), (cv, c) = table
+    plan = q.explain(
+        q.And(
+            q.Range(a, 100, 400),
+            q.Range(b, 0, 500),
+            q.Or(q.In(c, list(range(8, 16))), q.In(c, [3, 50, 99])),
+        )
+    )
+    assert "conj:fused-range m=2" in plan
+    assert "member:interval" in plan        # 8..15 is consecutive
+    assert "member:" in plan
+    # explain is static: it must agree with what evaluate produces
+    assert isinstance(plan, str) and plan.count("\n") >= 3
+
+
+def test_explain_empty_intersection(table):
+    n, (av, a), _, _ = table
+    plan = q.explain(q.And(q.Range(a, 50, 60), q.Range(a, 100, 200)))
+    assert "statically empty" in plan
