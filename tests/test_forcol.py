@@ -90,3 +90,17 @@ def test_pack_for_width_validation():
     vals = np.arange(100, dtype=np.uint32)
     with pytest.raises(ValueError, match="cannot hold"):
         forcol.pack_for(vals, width=5)
+
+
+def test_for_sharded_query():
+    from shared_simd_scan_tpu.parallel import dist
+
+    mesh = dist.make_mesh()
+    n = 8 * 32 * 128 * 8 + 11
+    vals = _band_col(n, 40_000, 40_000 + 400, seed=9)
+    fc = forcol.pack_for(vals)
+    sfc = forcol.ForColumn(base=fc.base, dev=dist.shard_column(fc.dev, mesh))
+    expr = forcol.normalize(q.Range(sfc, 40_050, 40_300))
+    bits, count = q.evaluate_sharded(expr, mesh, interpret=True)
+    expect = (vals >= 40_050) & (vals < 40_300)
+    assert int(count) == int(expect.sum())
