@@ -85,6 +85,26 @@ def main() -> int:
     print(f"price p50={int(qs[0])} p99={int(qs[1])}; "
           f"top-3 values {list(map(int, top))}")
 
+    # 6. encodings: FOR for banded data, dictionary for sparse domains
+    from shared_simd_scan_tpu import dictcol, forcol
+
+    ts = rng.integers(1_700_000_000, 1_700_086_400, n).astype(np.uint64)
+    fts = forcol.pack_for(ts)  # one day of timestamps -> 17 bits
+    print(f"timestamps FOR-encoded at {fts.width} bits "
+          f"(raw needs 31+); base={fts.base}")
+    _, cnt = forcol.evaluate(
+        q.Range(fts, 1_700_040_000, 1_700_050_000), interpret=INTERPRET
+    )
+    assert int(cnt) == int(((ts >= 1_700_040_000) & (ts < 1_700_050_000)).sum())
+
+    skus = (rng.integers(0, 150, n).astype(np.uint64) * 982_451_653) % (1 << 40)
+    dsku = dictcol.pack_dict(skus)
+    print(f"sparse 40-bit SKUs dictionary-encoded at {dsku.width} bits "
+          f"({dsku.values.size} distinct)")
+
+    # 7. the plan, statically
+    print(q.explain(expr))
+
     print("demo OK")
     return 0
 

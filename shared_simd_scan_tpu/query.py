@@ -100,6 +100,40 @@ def _columns(expr) -> list[DeviceColumn]:
     raise TypeError(f"not a query expression: {expr!r}")
 
 
+def _group_or_terms(terms):
+    """Plan an Or's children: per column, (multi-value spans) and (merged
+    member keys from In terms + single-value Eq spans); plus the residual
+    non-leaf terms.  Statically empty disjuncts are dropped."""
+    spans_by_col: dict[int, tuple[DeviceColumn, list]] = {}
+    keys_by_col: dict[int, tuple[DeviceColumn, list]] = {}
+    others = []
+    for t in terms:
+        if isinstance(t, Range) and t.hi == t.lo + 1:
+            keys_by_col.setdefault(id(t.col), (t.col, []))[1].append(t.lo)
+        elif isinstance(t, Range) and t.lo < t.hi:
+            spans_by_col.setdefault(id(t.col), (t.col, []))[1].append(
+                (t.lo, t.hi)
+            )
+        elif isinstance(t, Range):
+            pass  # statically empty disjunct
+        elif isinstance(t, In):
+            if t.keys:
+                keys_by_col.setdefault(id(t.col), (t.col, []))[1].extend(
+                    t.keys
+                )
+        else:
+            others.append(t)
+    # dedupe merged keys, preserve order for determinism
+    for cid, (col, keys) in list(keys_by_col.items()):
+        seen, uniq = set(), []
+        for k in keys:
+            if k not in seen:
+                seen.add(k)
+                uniq.append(k)
+        keys_by_col[cid] = (col, uniq)
+    return spans_by_col, keys_by_col, others
+
+
 def _eval(expr, n: int, interpret: bool) -> jax.Array:
     """-> canonical bitvector words for the subtree."""
     if isinstance(expr, Range):
@@ -116,27 +150,20 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
     if isinstance(expr, Or):
         if not expr.terms:
             return jnp.zeros((n + 31) // 32, jnp.uint32)
-        # Range disjuncts group per column: ONE k-range pass per column
-        # (ops.scan.range_scan_tiles, <= 32 unrolled ranges per call)
-        # instead of one pass per range
-        by_col: dict[int, tuple[DeviceColumn, list]] = {}
-        others = []
-        for t in expr.terms:
-            if isinstance(t, Range) and t.lo < t.hi:
-                by_col.setdefault(id(t.col), (t.col, []))[1].append(
-                    (t.lo, t.hi)
-                )
-            elif isinstance(t, Range):
-                pass  # statically empty disjunct contributes nothing
-            else:
-                others.append(t)
+        # Disjuncts group per column: single-value ranges (Eq) and In
+        # keys merge into ONE member scan (the union IS the member
+        # semantics); multi-value ranges share ONE k-range pass per
+        # column (ops.scan.range_scan_tiles, <= 32 unrolled per call)
+        spans_by_col, keys_by_col, others = _group_or_terms(expr.terms)
         rows = [_eval(t, n, interpret) for t in others]
         from shared_simd_scan_tpu.ops.scan import (
             bits_to_canonical,
             range_scan_tiles,
         )
 
-        for col, spans in by_col.values():
+        for col, keys in keys_by_col.values():
+            rows.append(_eval(In(col, keys), n, interpret))
+        for col, spans in spans_by_col.values():
             if len(spans) == 1:
                 # single range: the conj kernel writes the one fused row
                 rows.append(_eval(And(Range(col, *spans[0])), n, interpret))
@@ -259,19 +286,11 @@ def _eval_sharded(expr, n: int, b1: int, mesh, interpret: bool) -> jax.Array:
     if isinstance(expr, Or):
         if not expr.terms:
             return jnp.zeros((b1, 128), jnp.uint32)
-        by_col: dict[int, tuple[DeviceColumn, list]] = {}
-        others = []
-        for t in expr.terms:
-            if isinstance(t, Range) and t.lo < t.hi:
-                by_col.setdefault(id(t.col), (t.col, []))[1].append(
-                    (t.lo, t.hi)
-                )
-            elif isinstance(t, Range):
-                pass  # statically empty disjunct
-            else:
-                others.append(t)
+        spans_by_col, keys_by_col, others = _group_or_terms(expr.terms)
         rows = [_eval_sharded(t, n, b1, mesh, interpret) for t in others]
-        for col, spans in by_col.values():
+        for col, keys in keys_by_col.values():
+            rows.append(_eval_sharded(In(col, keys), n, b1, mesh, interpret))
+        for col, spans in spans_by_col.values():
             if len(spans) == 1:
                 rows.append(
                     _eval_sharded(And(Range(col, *spans[0])), n, b1, mesh,
@@ -415,20 +434,13 @@ def explain(expr, indent: str = "") -> str:
                 )
             lines.extend(explain(t, indent + "  ") for t in others)
         else:
-            by_col: dict[int, tuple[DeviceColumn, list]] = {}
-            others = []
-            for t in expr.terms:
-                if isinstance(t, Range) and t.lo < t.hi:
-                    by_col.setdefault(id(t.col), (t.col, []))[1].append(
-                        (t.lo, t.hi)
-                    )
-                elif isinstance(t, Range):
-                    lines.append(
-                        f"{indent}  constant: empty range disjunct dropped"
-                    )
-                else:
-                    others.append(t)
-            for col, spans in by_col.values():
+            spans_by_col, keys_by_col, others = _group_or_terms(expr.terms)
+            for col, keys in keys_by_col.values():
+                lines.append(
+                    f"{indent}  {_member_tier_name(tuple(keys), col.width)} "
+                    f"k={len(keys)} [merged In/Eq disjuncts, one pass]"
+                )
+            for col, spans in spans_by_col.values():
                 if len(spans) == 1:
                     lines.append(
                         f"{indent}  conj:fused-range m=1 "

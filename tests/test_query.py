@@ -253,10 +253,23 @@ def test_explain_names_tiers(table):
         )
     )
     assert "conj:fused-range m=2" in plan
-    assert "member:interval" in plan        # 8..15 is consecutive
-    assert "member:" in plan
-    # explain is static: it must agree with what evaluate produces
-    assert isinstance(plan, str) and plan.count("\n") >= 3
+    # the two In disjuncts on one column merge into ONE member pass
+    assert "k=11 [merged In/Eq disjuncts, one pass]" in plan
+    assert plan.count("member:") == 1
+    # a lone In keeps its tier name (consecutive run -> interval)
+    assert "member:interval" in q.explain(q.In(c, list(range(8, 16))))
+    assert isinstance(plan, str) and plan.count("\n") >= 2
+
+
+def test_or_merges_in_and_eq_on_same_column(table):
+    n, (av, a), _, (cv, c) = table
+    expr = q.Or(q.In(c, [5, 9, 80]), q.Eq(c, 100), q.Eq(a, 3))
+    bits, count = q.evaluate(expr, interpret=True)
+    expect = np.isin(cv, [5, 9, 80, 100]) | (av == 3)
+    assert int(count) == int(expect.sum())
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bits, n)), expect
+    )
 
 
 def test_explain_empty_intersection(table):
