@@ -1,0 +1,119 @@
+"""Post-outage hardware drive: every kernel/dispatch path added this
+session, on the real chip, small shapes first.  Cross-checked vs numpy."""
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from shared_simd_scan_tpu import layout, query as q, stats  # noqa: E402
+from shared_simd_scan_tpu.ops import aggregate as agg_ops  # noqa: E402
+from shared_simd_scan_tpu.ops import conj as conj_ops  # noqa: E402
+from shared_simd_scan_tpu.ops import member as member_ops  # noqa: E402
+from shared_simd_scan_tpu.ops import scan as scan_ops  # noqa: E402
+from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
+
+print("backend:", jax.devices(), flush=True)
+
+WIDTH = 9
+N = 2_000_000
+rng = np.random.default_rng(123)
+vals_np = rng.integers(0, 1 << WIDTH, N, dtype=np.uint32)
+dev = unpack_ops.pack_device_kernel(jnp.asarray(vals_np), WIDTH)
+
+
+def canon(bits):
+    return np.asarray(jax.device_get(scan_ops.bits_to_canonical(bits, N)))
+
+
+def expect_words(mask):
+    w = np.zeros((N + 31) // 32, np.uint32)
+    idx = np.nonzero(mask)[0]
+    np.bitwise_or.at(w, idx // 32, np.uint32(1) << (idx % 32).astype(np.uint32))
+    return w
+
+
+def step(name):
+    print(f"[{time.strftime('%H:%M:%S')}] {name}", flush=True)
+
+
+# 1. shared_scan_device spread keys -> bit-sliced tier
+for k in (8, 48):
+    step(f"shared bit-sliced k={k}")
+    keys = ((np.arange(k, dtype=np.uint32) * 97 + 5) % (1 << WIDTH)).astype(np.uint32)
+    assert scan_ops._bitsliced_wins(WIDTH, k)
+    bits, cnt = scan_ops.shared_scan_device(dev, keys)
+    cnt = np.asarray(jax.device_get(cnt))
+    exp = np.array([(vals_np == kk).sum() for kk in keys], np.uint32)
+    assert (cnt == exp).all(), f"shared k={k} counts wrong"
+    row = canon(bits[3])
+    np.testing.assert_array_equal(row, expect_words(vals_np == keys[3]))
+
+# 2. member bit-sliced k=100 (sentinel padding) and k=8
+for k, seed in ((100, 11), (8, 13)):
+    step(f"member bit-sliced k={k}")
+    keys = ((np.arange(k, dtype=np.uint32) * 37 + seed) % (1 << WIDTH)).astype(np.uint32)
+    keys = np.unique(keys)
+    mbits, mcnt = member_ops.member_scan_device(dev, keys)
+    expect = np.isin(vals_np, keys)
+    assert int(jax.device_get(mcnt)) == int(expect.sum())
+    np.testing.assert_array_equal(canon(mbits), expect_words(expect))
+
+# 3. conj kernel m=2 (9 + 16 bit columns)
+step("conj m=2")
+bvals_np = rng.integers(0, 1 << 16, N, dtype=np.uint32)
+bdev = unpack_ops.pack_device_kernel(jnp.asarray(bvals_np), 16)
+cbits, ccnt = conj_ops.conj_range_scan_device(
+    [dev, bdev], [100, 1000], [400, 50000]
+)
+cmask = (vals_np >= 100) & (vals_np < 400) & (bvals_np >= 1000) & (bvals_np < 50000)
+assert int(jax.device_get(ccnt)) == int(cmask.sum()), "conj count wrong"
+np.testing.assert_array_equal(
+    np.asarray(jax.device_get(cbits)), expect_words(cmask)
+)
+
+# 4. masked aggregate over the conj bitvector
+step("masked aggregate")
+total, mc = agg_ops.masked_aggregate_device(bdev, cbits)
+assert int(mc) == int(cmask.sum())
+assert int(total) == int(bvals_np[cmask].astype(np.uint64).sum()), "sum wrong"
+
+# 5. query tree end-to-end (plans: conj + member + compose)
+step("query tree")
+qbits, qcnt = q.evaluate(
+    q.And(q.Range(dev, 50, 300), q.Or(q.In(dev, [77, 200, 431]),
+                                      q.Not(q.Range(bdev, 0, 40000))))
+)
+qmask = ((vals_np >= 50) & (vals_np < 300)) & (
+    np.isin(vals_np, [77, 200, 431]) | ~(bvals_np < 40000)
+)
+assert int(jax.device_get(qcnt)) == int(qmask.sum()), "query count wrong"
+
+# 6. stats (histogram windows)
+step("stats")
+qs = stats.quantiles(dev, [0.5, 0.99])
+sv = np.sort(vals_np)
+assert int(qs[0]) == int(sv[max(1, int(np.ceil(0.5 * N))) - 1])
+assert int(qs[1]) == int(sv[max(1, int(np.ceil(0.99 * N))) - 1])
+
+# 7. sharded dispatch on the single real device
+step("sharded")
+from shared_simd_scan_tpu.parallel import dist  # noqa: E402
+
+mesh = dist.make_mesh()
+k = 40
+keys = ((np.arange(k, dtype=np.uint32) * 13 + 1) % 512).astype(np.uint32)
+sdev = dist.shard_column(dev, mesh)
+bits, cnt = dist.sharded_shared_scan(sdev, jnp.asarray(keys), mesh=mesh)
+cnt = np.asarray(jax.device_get(cnt))
+exp = np.array([(vals_np == kk).sum() for kk in keys], np.uint32)
+assert (cnt == exp).all(), "sharded counts wrong"
+
+print("ALL DRIVE CHECKS PASSED", flush=True)
+sys.exit(0)

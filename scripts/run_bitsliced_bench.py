@@ -69,16 +69,17 @@ def main(argv):
         keysj = jnp.asarray(keys)
         traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
 
-        # on-device verification BEFORE timing (counts vs numpy)
-        _, cnt = scan_ops.shared_scan_bitsliced_tiles(dev.tiles, keysj, WIDTH, n)
-        cnt = np.asarray(jax.device_get(cnt))
         exp = np.array([(vals_np == kk).sum() for kk in keys], np.uint32)
-        ok = bool((cnt == exp).all())
 
-        for tier, chain in (
-            ("bitsliced", harness.chain_bitsliced_shared_scan),
-            ("chunked-compare", harness.chain_chunked_shared_scan),
+        for tier, chain, fn in (
+            ("bitsliced", harness.chain_bitsliced_shared_scan,
+             scan_ops.shared_scan_bitsliced_tiles),
+            ("chunked-compare", harness.chain_chunked_shared_scan,
+             scan_ops.shared_scan_chunked_tiles),
         ):
+            # on-device verification of THIS tier before timing it
+            _, cnt = fn(dev.tiles, keysj, WIDTH, n)
+            ok = bool((np.asarray(jax.device_get(cnt)) == exp).all())
             m = measure_loop(
                 functools.partial(chain, width=WIDTH, n=n, tb=None),
                 (dev.tiles, keysj),

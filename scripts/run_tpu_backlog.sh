@@ -8,7 +8,7 @@ export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
 
 # 1. hardware drive of every dispatch/kernel path added this session
-timeout 3600 python -u /tmp/drive_r2c_all.py || exit 1
+timeout 3600 python -u scripts/drive_hw_check.py || exit 1
 
 # 2. member rows at 512 MiB (interval/window/compare/bit-sliced tiers)
 timeout 5400 python -u scripts/run_member_bench.py \

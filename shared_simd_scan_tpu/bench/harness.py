@@ -823,11 +823,17 @@ def bench_member(
     traffic = packed_nbytes(width, n) + layout.bitvector_words(n) * 4
     dom = 1 << width
     shapes = [("consecutive", tuple(i % dom for i in range(k)))]
-    if k >= 8:
-        nclust = (k + 7) // 8
-        stride = max(32, dom // max(nclust, 1))
+    if k >= 4:
+        # at least 2 clusters so the shape is NOT a consecutive run (a
+        # single cluster would duplicate the interval row and the window
+        # tier would never be measured)
+        csize = max(2, min(8, k // 2))
+        nclust = (k + csize - 1) // csize
+        stride = max(32, dom // nclust)
         clustered = tuple(
-            (c * stride + j) % dom for c in range(nclust) for j in range(8)
+            (c * stride + j) % dom
+            for c in range(nclust)
+            for j in range(csize)
         )[:k]
         shapes.append(("clustered", clustered))
     shapes.append(("spread", tuple(int(x) for x in (np.arange(k) * 61 + 3) % dom)))

@@ -117,7 +117,12 @@ def evaluate(expr, interpret: bool = False):
 
 def topk_values(dc: DictColumn, k: int, tb=None, interpret: bool = False):
     """Most frequent LOGICAL values via the code histogram."""
+    # cap at the dictionary size, not the histogram domain (2^width) —
+    # zero-count codes past values.size are not valid dictionary entries
+    k = min(k, dc.values.size)
     codes, counts = _stats.topk_values(dc.dev, k, tb=tb, interpret=interpret)
+    keep = codes < dc.values.size
+    codes, counts = codes[keep][:k], counts[keep][:k]
     return dc.values[codes], counts
 
 
@@ -132,7 +137,8 @@ def describe(dc: DictColumn, tb=None, interpret: bool = False) -> dict:
     nz = np.nonzero(counts)[0]
     cum = np.cumsum(counts)
     med_code = int(np.searchsorted(cum, (n + 1) // 2))
-    total = int((dc.values[nz] * counts[nz]).sum())
+    # exact: uint64 elementwise products can overflow for 64-bit domains
+    total = sum(int(dc.values[c]) * int(counts[c]) for c in nz)
     return {
         "n": n,
         "min": int(dc.values[nz[0]]),

@@ -82,6 +82,10 @@ def load_table(dirpath) -> dict:
     manifest = json.loads((d / "MANIFEST.json").read_text())
     out = {}
     for name, meta in manifest.items():
+        if "/" in name or "\\" in name or name.startswith("."):
+            # same validation as save_table: a hand-edited manifest must
+            # not escape the table directory
+            raise ValueError(f"bad column name in manifest: {name!r}")
         col = load_column(d / f"{name}.sss")
         if col.width != meta["width"] or col.n != meta["n"]:
             raise ValueError(

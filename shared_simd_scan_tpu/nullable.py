@@ -104,21 +104,25 @@ def _eval_tu(expr, n: int, interpret: bool):
     if isinstance(expr, q.Not):
         t, u = _eval_tu(expr.term, n, interpret)
         return bitvector.logical_not(t | u, n), u
-    if isinstance(expr, q.And):
-        ts_us = [_eval_tu(x, n, interpret) for x in expr.terms]
+    if isinstance(expr, (q.And, q.Or)):
+        # group the pure (non-nullable) siblings into ONE subtree so the
+        # ordinary planner keeps its fused multi-column / k-range passes;
+        # only nullable terms evaluate per-term for the Kleene algebra
+        pure = [x for x in expr.terms if not _has_nullable(x)]
+        mixed = [x for x in expr.terms if _has_nullable(x)]
+        ctor = q.And if isinstance(expr, q.And) else q.Or
+        terms = ([ctor(*pure)] if pure else []) + mixed
+        ts_us = [_eval_tu(x, n, interpret) for x in terms]
         t = ts_us[0][0]
         tu = ts_us[0][0] | ts_us[0][1]
-        for ti, ui in ts_us[1:]:
-            t = t & ti
-            tu = tu & (ti | ui)
-        return t, bitvector.logical_andnot(tu, t)
-    if isinstance(expr, q.Or):
-        ts_us = [_eval_tu(x, n, interpret) for x in expr.terms]
-        t = ts_us[0][0]
-        tu = ts_us[0][0] | ts_us[0][1]
-        for ti, ui in ts_us[1:]:
-            t = t | ti
-            tu = tu | ti | ui
+        if isinstance(expr, q.And):
+            for ti, ui in ts_us[1:]:
+                t = t & ti
+                tu = tu & (ti | ui)
+        else:
+            for ti, ui in ts_us[1:]:
+                t = t | ti
+                tu = tu | ti | ui
         return t, bitvector.logical_andnot(tu, t)
     raise TypeError(f"not a query expression: {expr!r}")
 

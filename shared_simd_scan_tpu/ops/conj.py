@@ -62,7 +62,10 @@ def _conj_range_kernel(off_ref, lohi_ref, *refs, widths, tb, n):
     for c, width in enumerate(widths):
         col = jnp.zeros((tb, LANES), jnp.uint32)
         lo = lohi_ref[c, 0]
-        span = lohi_ref[c, 1] - lo
+        hi = lohi_ref[c, 1]
+        # inverted bounds (hi < lo) are an EMPTY range, not a wrapped one
+        # — scalar clamp, free
+        span = jnp.where(hi > lo, hi - lo, jnp.uint32(0))
         for r, v in _unpack_block_values(in_refs[c], width):
             inside = (v - lo) < span
             col = col | jnp.where(inside, jnp.uint32(1 << r), jnp.uint32(0))

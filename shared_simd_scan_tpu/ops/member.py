@@ -371,6 +371,24 @@ def _consecutive_span(arr: np.ndarray) -> int | None:
     return lo if (arr == lo + np.arange(arr.size, dtype=arr.dtype)).all() else None
 
 
+def member_dispatch_tier(arr: np.ndarray, width: int) -> str:
+    """The tier member_scan_tiles dispatches for concrete keys:
+    'interval' | 'window' | 'bitsliced' | 'compare'.  THE single home of
+    the dispatch cost rule (quarter-ops-per-value units: window ~20 per
+    touched window, compare ~10 per key, bit-sliced 48 fixed +
+    (2*width+1)/8 per key) — query.explain names tiers from this same
+    function, so retuning the constants cannot desynchronize them."""
+    arr = np.asarray(arr, dtype=np.uint32)
+    k = int(arr.shape[0])
+    if _consecutive_span(arr) is not None:
+        return "interval"
+    bases, _ = member_window_plan(arr)
+    alt = min(10 * k, 48 + (2 * width + 1) * k // 8)
+    if 20 * len(bases) < alt:
+        return "window"
+    return "bitsliced" if _bitsliced_member_wins(width, k) else "compare"
+
+
 def member_scan_tiles(
     tiles: jax.Array,
     keys,
@@ -396,8 +414,9 @@ def member_scan_tiles(
         raise ValueError(f"member scan needs at least one key, got {k}")
     if not traced:
         arr = np.asarray(keys, dtype=np.uint32)
-        lo = _consecutive_span(arr)
-        if lo is not None:
+        tier = member_dispatch_tier(arr, width)
+        if tier == "interval":
+            lo = _consecutive_span(arr)
             # one unsigned range compare per value, for any k.  tb=256
             # measured best on v5e at 512 MiB (633 GB/s vs 582 at the
             # range kernel's inherited default of 512).
@@ -409,13 +428,9 @@ def member_scan_tiles(
                 interpret=interpret, block_offset=block_offset,
             )
             return bits[0], cnt[0]
-        bases, pops = member_window_plan(arr)
-        nwin = len(bases)
-        # quarter-ops-per-value costs: window tier ~20 per touched window,
-        # vs the best non-window tier (compare ~10 per key, bit-sliced
-        # 48 + (2*width+1)/8 per key)
-        alt = min(10 * k, 48 + (2 * width + 1) * k // 8)
-        if 20 * nwin < alt:
+        if tier == "window":
+            bases, pops = member_window_plan(arr)
+            nwin = len(bases)
             win = jnp.asarray(
                 np.stack([bases, pops], axis=1).astype(np.uint32)
             )  # (nwin, 2)

@@ -377,18 +377,16 @@ def evaluate_sharded(
 
 
 def _member_tier_name(keys: tuple, width: int) -> str:
-    """The tier member_scan_tiles will dispatch (same rules, read-only)."""
+    """The tier member_scan_tiles will dispatch — straight from the
+    dispatcher's own cost rule (ops.member.member_dispatch_tier)."""
     arr = np.asarray(keys, np.uint32)
-    if member_ops._consecutive_span(arr) is not None:
+    tier = member_ops.member_dispatch_tier(arr, width)
+    if tier == "interval":
         return "member:interval(range-compare)"
-    bases, _ = member_ops.member_window_plan(arr)
-    k = arr.shape[0]
-    alt = min(10 * k, 48 + (2 * width + 1) * k // 8)
-    if 20 * len(bases) < alt:
+    if tier == "window":
+        bases, _ = member_ops.member_window_plan(arr)
         return f"member:window-popmask({len(bases)} windows)"
-    if member_ops._bitsliced_member_wins(width, k):
-        return "member:bit-sliced"
-    return "member:compare"
+    return f"member:{'bit-sliced' if tier == 'bitsliced' else 'compare'}"
 
 
 def explain(expr, indent: str = "") -> str:

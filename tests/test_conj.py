@@ -156,3 +156,13 @@ def test_sharded_conj_range_scan():
         exp_words, idx // 32, np.uint32(1) << (idx % 32).astype(np.uint32)
     )
     np.testing.assert_array_equal(got, exp_words)
+
+
+def test_conj_inverted_bounds_are_empty():
+    n = 5_000
+    vals, devs = _cols((9,), n, seed=10)
+    bits, count = conj_ops.conj_range_scan_device(
+        devs, [300], [100], interpret=True  # hi < lo: empty, not wrapped
+    )
+    assert int(count) == 0
+    assert not any(bitvector.to_bytes(bits, n))

@@ -98,3 +98,18 @@ def test_pack_dict_width_validation():
     vals = np.arange(100, dtype=np.uint64)
     with pytest.raises(ValueError, match="cannot hold"):
         dictcol.pack_dict(vals, width=5)
+
+
+def test_topk_caps_at_dictionary_size():
+    vals = np.array([10, 10, 500, 70_000], np.uint64)  # 3 distinct
+    dc = dictcol.pack_dict(vals)
+    top, counts = dictcol.topk_values(dc, 10, interpret=True)
+    assert top.shape[0] == 3 and int(counts[0]) == 2 and int(top[0]) == 10
+
+
+def test_describe_mean_exact_for_64bit_domain():
+    big = np.uint64(1) << np.uint64(62)
+    vals = np.array([big, big, big + np.uint64(6)], np.uint64)
+    dc = dictcol.pack_dict(vals)
+    d = dictcol.describe(dc, interpret=True)
+    assert d["mean"] == (int(big) * 3 + 6) / 3

@@ -102,3 +102,16 @@ def test_table_manifest_mismatch_detected(tmp_path):
 
     with _pytest.raises(ValueError, match="disagrees"):
         io.load_table(tmp_path / "t3")
+
+
+def test_load_table_rejects_escaping_manifest(tmp_path):
+    import json
+    import pytest as _pytest
+
+    a = layout.pack(np.arange(64, dtype=np.uint32) % 8, 3)
+    io.save_table({"a": a}, tmp_path / "t4")
+    m = json.loads((tmp_path / "t4" / "MANIFEST.json").read_text())
+    m["../escape"] = m.pop("a")
+    (tmp_path / "t4" / "MANIFEST.json").write_text(json.dumps(m))
+    with _pytest.raises(ValueError, match="bad column name"):
+        io.load_table(tmp_path / "t4")

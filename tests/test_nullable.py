@@ -103,3 +103,39 @@ def test_pack_nullable_validation():
         nullable.pack_nullable(
             np.zeros(10, np.uint32), np.zeros(5, bool), 9
         )
+
+
+def test_mixed_and_groups_pure_siblings_into_one_fused_pass(monkeypatch):
+    # the pure conjuncts must reach the planner as ONE And (fused conj
+    # pass), not one q.evaluate call per pure leaf
+    n = 6_000
+    av, an, a = _col(9, n, 0.2, seed=10)
+    p1v = np.random.default_rng(11).integers(0, 512, n, dtype=np.uint32)
+    p2v = np.random.default_rng(12).integers(0, 128, n, dtype=np.uint32)
+    p1 = layout.to_device(layout.pack(p1v, 9))
+    p2 = layout.to_device(layout.pack(p2v, 7))
+
+    calls = []
+    real = nullable.q.evaluate
+
+    def spy(expr, interpret=False):
+        calls.append(expr)
+        return real(expr, interpret=interpret)
+
+    monkeypatch.setattr(nullable.q, "evaluate", spy)
+    bits, count = nullable.evaluate(
+        nullable.q.And(
+            nullable.q.Range(p1, 100, 300),
+            nullable.q.Range(p2, 10, 90),
+            nullable.q.Not(nullable.q.Eq(a, 2)),
+        ),
+        interpret=True,
+    )
+    expect = (
+        (p1v >= 100) & (p1v < 300) & (p2v >= 10) & (p2v < 90)
+        & (av != 2) & ~an
+    )
+    assert int(count) == int(expect.sum())
+    # one planner call for both pure ranges (fused), one for the nullable leaf
+    pure_ands = [e for e in calls if isinstance(e, nullable.q.And)]
+    assert len(pure_ands) == 1 and len(pure_ands[0].terms) == 2
