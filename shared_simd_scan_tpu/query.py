@@ -134,6 +134,32 @@ def _group_or_terms(terms):
     return spans_by_col, keys_by_col, others
 
 
+def _group_and_terms(terms):
+    """Plan an And's children: per-column intersected range bounds
+    (chunked into conj-kernel groups of MAX_COLUMNS) plus the residual
+    terms.  Returns (groups, others, empty) — empty=True when some
+    column's intersection is statically empty."""
+    bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
+    others = []
+    for t in terms:
+        if isinstance(t, Range):
+            key = id(t.col)
+            if key in bounds:
+                col, lo, hi = bounds[key]
+                bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
+            else:
+                bounds[key] = (t.col, t.lo, t.hi)
+        else:
+            others.append(t)
+    groups = list(bounds.values())
+    empty = any(hi <= lo for _, lo, hi in groups)
+    chunks = [
+        groups[at:at + conj_ops.MAX_COLUMNS]
+        for at in range(0, len(groups), conj_ops.MAX_COLUMNS)
+    ]
+    return chunks, others, empty
+
+
 def _eval(expr, n: int, interpret: bool) -> jax.Array:
     """-> canonical bitvector words for the subtree."""
     if isinstance(expr, Range):
@@ -191,33 +217,19 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
             )
         # merge every Range conjunct per column: intersected bounds, one
         # fused multi-column pass for the whole group
-        bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
-        others = []
-        for t in expr.terms:
-            if isinstance(t, Range):
-                key = id(t.col)
-                if key in bounds:
-                    col, lo, hi = bounds[key]
-                    bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
-                else:
-                    bounds[key] = (t.col, t.lo, t.hi)
-            else:
-                others.append(t)
+        chunks, others, empty = _group_and_terms(expr.terms)
+        if empty:
+            # statically empty intersection on some column
+            return jnp.zeros((n + 31) // 32, jnp.uint32)
         rows = []
-        if bounds:
-            groups = list(bounds.values())
-            if any(hi <= lo for _, lo, hi in groups):
-                # statically empty intersection on some column
-                return jnp.zeros((n + 31) // 32, jnp.uint32)
-            for at in range(0, len(groups), conj_ops.MAX_COLUMNS):
-                g = groups[at:at + conj_ops.MAX_COLUMNS]
-                bits, _ = conj_ops.conj_range_scan_device(
-                    [c for c, _, _ in g],
-                    np.asarray([lo for _, lo, _ in g], np.uint32),
-                    np.asarray([hi for _, _, hi in g], np.uint32),
-                    interpret=interpret,
-                )
-                rows.append(bits)
+        for g in chunks:
+            bits, _ = conj_ops.conj_range_scan_device(
+                [c for c, _, _ in g],
+                np.asarray([lo for _, lo, _ in g], np.uint32),
+                np.asarray([hi for _, _, hi in g], np.uint32),
+                interpret=interpret,
+            )
+            rows.append(bits)
         rows.extend(_eval(t, n, interpret) for t in others)
         return bitvector.logical_and(*rows)
     raise TypeError(f"not a query expression: {expr!r}")
@@ -318,32 +330,18 @@ def _eval_sharded(expr, n: int, b1: int, mesh, interpret: bool) -> jax.Array:
     if isinstance(expr, And):
         if not expr.terms:
             return _valid_tile_mask(b1, n)
-        bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
-        others = []
-        for t in expr.terms:
-            if isinstance(t, Range):
-                key = id(t.col)
-                if key in bounds:
-                    col, lo, hi = bounds[key]
-                    bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
-                else:
-                    bounds[key] = (t.col, t.lo, t.hi)
-            else:
-                others.append(t)
+        chunks, others, empty = _group_and_terms(expr.terms)
+        if empty:
+            return jnp.zeros((b1, 128), jnp.uint32)
         rows = []
-        if bounds:
-            groups = list(bounds.values())
-            if any(hi <= lo for _, lo, hi in groups):
-                return jnp.zeros((b1, 128), jnp.uint32)
-            for at in range(0, len(groups), conj_ops.MAX_COLUMNS):
-                g = groups[at:at + conj_ops.MAX_COLUMNS]
-                bits, _ = dist.sharded_conj_range_scan(
-                    [c for c, _, _ in g],
-                    np.asarray([lo for _, lo, _ in g], np.uint32),
-                    np.asarray([hi for _, _, hi in g], np.uint32),
-                    mesh, interpret=interpret,
-                )
-                rows.append(bits)
+        for g in chunks:
+            bits, _ = dist.sharded_conj_range_scan(
+                [c for c, _, _ in g],
+                np.asarray([lo for _, lo, _ in g], np.uint32),
+                np.asarray([hi for _, _, hi in g], np.uint32),
+                mesh, interpret=interpret,
+            )
+            rows.append(bits)
         rows.extend(
             _eval_sharded(t, n, b1, mesh, interpret) for t in others
         )
@@ -407,24 +405,11 @@ def explain(expr, indent: str = "") -> str:
         op = "AND" if isinstance(expr, And) else "OR"
         lines = [f"{indent}{op} (word-wise combine)"]
         if isinstance(expr, And):
-            bounds: dict[int, tuple[DeviceColumn, int, int]] = {}
-            others = []
-            for t in expr.terms:
-                if isinstance(t, Range):
-                    key = id(t.col)
-                    if key in bounds:
-                        col, lo, hi = bounds[key]
-                        bounds[key] = (col, max(lo, t.lo), min(hi, t.hi))
-                    else:
-                        bounds[key] = (t.col, t.lo, t.hi)
-                else:
-                    others.append(t)
-            groups = list(bounds.values())
-            if any(hi <= lo for _, lo, hi in groups):
+            chunks, others, empty = _group_and_terms(expr.terms)
+            if empty:
                 return (f"{indent}constant: statically empty range "
                         "intersection -> zeros")
-            for at in range(0, len(groups), conj_ops.MAX_COLUMNS):
-                g = groups[at:at + conj_ops.MAX_COLUMNS]
+            for g in chunks:
                 spans = ", ".join(f"[{lo},{hi})" for _, lo, hi in g)
                 lines.append(
                     f"{indent}  conj:fused-range m={len(g)} {spans} "
