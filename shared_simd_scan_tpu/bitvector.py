@@ -89,6 +89,26 @@ def popcount(bits: jax.Array) -> jax.Array:
     )
 
 
+def rank(bits: jax.Array, i) -> jax.Array:
+    """Number of set bits strictly below position i (uint32) — the
+    classic rank query, e.g. the output offset of row i in a compacted
+    materialization."""
+    w = jnp.asarray(bits).astype(jnp.uint32)
+    word = i // 32
+    full = jnp.sum(
+        jnp.where(
+            jnp.arange(w.shape[0]) < word,
+            jax.lax.population_count(w),
+            jnp.uint32(0),
+        ).astype(jnp.uint32)
+    )
+    part = jax.lax.population_count(
+        w[jnp.minimum(word, w.shape[0] - 1)]
+        & (jnp.uint32(1) << jnp.uint32(i % 32)) - jnp.uint32(1)
+    ).astype(jnp.uint32)
+    return full + jnp.where(jnp.asarray(word) < w.shape[0], part, 0)
+
+
 def match_indices(
     bits: jax.Array, n: int, size: int, fill_value: int | None = None
 ) -> tuple[jax.Array, jax.Array]:

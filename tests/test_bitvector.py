@@ -84,3 +84,15 @@ def test_logical_compose():
     assert int(bitvector.popcount(bitvector.logical_or(wa, wb))) == int(
         (a | b).sum()
     )
+
+
+def test_rank_matches_cumsum():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    n = 300
+    mask = rng.random(n) < 0.4
+    bits = bitvector.from_bool(jnp.asarray(mask))
+    cum = np.concatenate([[0], np.cumsum(mask)])
+    for i in [0, 1, 31, 32, 33, 64, 100, 255, 299, n]:
+        assert int(bitvector.rank(bits, i)) == int(cum[i]), i
