@@ -34,6 +34,7 @@ from shared_simd_scan_tpu.ops.scan import (  # noqa: F401
 )
 from shared_simd_scan_tpu.ops.aggregate import (  # noqa: F401
     aggregate_scan_device,
+    masked_aggregate_device,
     minmax_scan_device,
 )
 from shared_simd_scan_tpu.ops.member import (  # noqa: F401
