@@ -253,16 +253,20 @@ def _member_call(
         bits_ix = lambda i: (0, i, 0)  # noqa: E731
         cnt_ix = lambda i: (i, 0, 0)  # noqa: E731
     else:
+        # The count-partials block is (1, 1, LANES); Mosaic requires the
+        # -2 block dim to divide 8 or equal the array dim, so the chunk
+        # axis cannot be a sized-nchunks array dim — flatten (i, c) into
+        # the leading axis so every grid step owns a distinct block.
         grid = (b1 // tb, nchunks)
         in_ix = lambda i, c: (0, 0)  # noqa: E731
         tile_ix = lambda i, c: (0, i, 0)  # noqa: E731
         bits_ix = lambda i, c: (c, i, 0)  # noqa: E731
-        cnt_ix = lambda i, c: (i, c, 0)  # noqa: E731
+        cnt_ix = lambda i, c: (i * nchunks + c, 0, 0)  # noqa: E731
     bits, cnt = pl.pallas_call(
         kernel,
         out_shape=(
             jax.ShapeDtypeStruct((nchunks, b1, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((b1 // tb, nchunks, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((b1 // tb * nchunks, 1, LANES), jnp.int32),
         ),
         grid=grid,
         in_specs=[
