@@ -1,0 +1,314 @@
+"""Mosaic lowering legality for every Pallas kernel tier.
+
+Interpret-mode tests (the rest of the suite) verify kernel SEMANTICS on
+CPU but never run Mosaic's TPU lowering, so Mosaic-only constraints —
+block shapes whose last two dims must divide (8, 128) or equal the array
+dims, unsupported ops, SMEM layout rules — surface only at hardware
+compile time.  ``jax.export`` with ``platforms=["tpu"]`` runs the real
+TPU lowering pipeline host-side (no TPU needed): a tier that would fail
+to compile on the chip fails here instead.
+
+Regression anchor: the multi-chunk member kernels' count-partials block
+spec ((1, 1, LANES) against a (steps, nchunks, LANES) array) passed the
+whole interpret suite and failed on hardware; this file would have
+caught it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax import export
+
+from shared_simd_scan_tpu import layout
+from shared_simd_scan_tpu.ops import aggregate as agg_ops
+from shared_simd_scan_tpu.ops import conj as conj_ops
+from shared_simd_scan_tpu.ops import member as member_ops
+from shared_simd_scan_tpu.ops import scan as scan_ops
+from shared_simd_scan_tpu.ops import unpack as unpack_ops
+
+WIDTH = 9
+N = 5000
+
+
+@pytest.fixture(scope="module")
+def dev():
+    vals = (np.arange(N, dtype=np.uint32) * 7 + 3) & 0x1FF
+    return layout.pack_device(vals, WIDTH)
+
+
+def export_tpu(fn, *avals):
+    """Trace + Mosaic-lower ``fn`` for the TPU platform (no execution)."""
+    return export.export(jax.jit(fn), platforms=["tpu"])(*avals)
+
+
+def tiles_aval(d):
+    return jax.ShapeDtypeStruct(d.tiles.shape, d.tiles.dtype)
+
+
+def scan_fn(d, keys):
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=d.width, n=d.n)
+        return scan_ops.shared_scan_device(dd, keys)
+
+    return f
+
+
+def spread_keys(k):
+    return ((np.arange(k, dtype=np.uint32) * 97 + 5) % (1 << WIDTH)).astype(
+        np.uint32
+    )
+
+
+# --- shared_scan_device dispatch tiers --------------------------------
+
+
+def test_lower_scan_single_key(dev):
+    export_tpu(scan_fn(dev, np.array([3], np.uint32)), tiles_aval(dev))
+
+
+def test_lower_interval_k8(dev):
+    keys = np.arange(4, 12, dtype=np.uint32)
+    assert scan_ops._consecutive_lo(keys) is not None
+    export_tpu(scan_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_interval_k40_two_windows(dev):
+    # 33..48: single chunk, second mask window inside the kernel
+    export_tpu(
+        lambda tiles: scan_ops.interval_scan_tiles(
+            tiles, 7, 40, WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_interval_k1024_chunked(dev):
+    export_tpu(
+        lambda tiles: scan_ops.interval_scan_tiles(
+            tiles, 0, 1024, WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_general_static_k3(dev):
+    keys = np.array([3, 100, 317], np.uint32)
+    assert not scan_ops._bitsliced_wins(WIDTH, 3)
+    export_tpu(scan_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_bitsliced_k8(dev):
+    keys = spread_keys(8)
+    assert scan_ops._bitsliced_wins(WIDTH, 8)
+    export_tpu(scan_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_bitsliced_k100_multichunk(dev):
+    export_tpu(
+        lambda tiles: scan_ops.shared_scan_bitsliced_tiles(
+            tiles, jnp.asarray(spread_keys(100)), WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_windowed_k16_clusters(dev):
+    keys = np.concatenate(
+        [np.arange(8, dtype=np.uint32), 256 + np.arange(8, dtype=np.uint32)]
+    )
+    assert scan_ops.windowed_cost(keys) < min(
+        12 * 16, scan_ops.bitsliced_cost(WIDTH, 16)
+    )
+    export_tpu(scan_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_windowed_k64_chunked(dev):
+    keys = (
+        64 * np.repeat(np.arange(8, dtype=np.uint32), 8)
+        + np.tile(np.arange(8, dtype=np.uint32), 8)
+    )
+    export_tpu(
+        lambda tiles: scan_ops.windowed_scan_tiles(tiles, keys, WIDTH, N),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_chunked_compare_k100(dev):
+    export_tpu(
+        lambda tiles: scan_ops.shared_scan_chunked_tiles(
+            tiles, jnp.asarray(spread_keys(100)), WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_dynamic_k100(dev):
+    export_tpu(
+        lambda tiles: scan_ops.shared_scan_dynamic_tiles(
+            tiles, jnp.asarray(spread_keys(100)), WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_traced_keys_k8(dev):
+    # Traced keys must reach a traced-capable tier (bit-sliced here).
+    def f(tiles, keys):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return scan_ops.shared_scan_device(dd, keys)
+
+    export_tpu(
+        f, tiles_aval(dev), jax.ShapeDtypeStruct((8,), jnp.uint32)
+    )
+
+
+def test_lower_range_scan(dev):
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return scan_ops.range_scan_device(
+            dd, np.array([0, 9, 100, 500], np.uint32),
+            np.array([4, 64, 101, 512], np.uint32),
+        )
+
+    export_tpu(f, tiles_aval(dev))
+
+
+def test_lower_histogram_full_domain(dev):
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return scan_ops.histogram_device(dd)
+
+    export_tpu(f, tiles_aval(dev))
+
+
+def test_lower_histogram_k16(dev):
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return scan_ops.histogram_device(dd, lo=3, k=16)
+
+    export_tpu(f, tiles_aval(dev))
+
+
+# --- member tiers ------------------------------------------------------
+
+
+def member_fn(d, keys):
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=d.width, n=d.n)
+        return member_ops.member_scan_device(dd, keys)
+
+    return f
+
+
+@pytest.mark.parametrize(
+    "name,keys",
+    [
+        ("interval", np.arange(10, 26, dtype=np.uint32)),
+        (
+            "window",
+            np.concatenate(
+                [
+                    np.arange(3, 7, dtype=np.uint32),
+                    np.arange(100, 104, dtype=np.uint32),
+                ]
+            ),
+        ),
+        ("compare", np.array([3, 100, 317], np.uint32)),
+        ("bitsliced", spread_keys(8)),
+        ("bitsliced-multichunk", spread_keys(100)),
+    ],
+)
+def test_lower_member_tiers(dev, name, keys):
+    tier = member_ops.member_dispatch_tier(keys, WIDTH)
+    assert tier.startswith(name.split("-multichunk")[0]), (name, tier)
+    export_tpu(member_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_member_chunked_compare(dev):
+    keys2 = jnp.asarray(spread_keys(64)).reshape(64, 1)
+    export_tpu(
+        lambda tiles: member_ops._member_chunked_compare_tiles(
+            tiles, keys2, WIDTH, N, None, False, 32, 0
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_member_traced_keys(dev):
+    def f(tiles, keys):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return member_ops.member_scan_device(dd, keys)
+
+    export_tpu(
+        f, tiles_aval(dev), jax.ShapeDtypeStruct((12,), jnp.uint32)
+    )
+
+
+# --- conjunction, aggregates, codec ------------------------------------
+
+
+@pytest.mark.parametrize("m", [2, 8])
+def test_lower_conj_range(dev, m):
+    def f(tiles):
+        devs = [
+            layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+            for _ in range(m)
+        ]
+        return conj_ops.conj_range_scan_device(
+            devs,
+            np.full(m, 10, np.uint32),
+            np.full(m, 400, np.uint32),
+        )
+
+    export_tpu(f, tiles_aval(dev))
+
+
+def test_lower_aggregate_scan(dev):
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return agg_ops.aggregate_scan_tiles(
+            tiles, tiles, jnp.arange(4, dtype=jnp.uint32), WIDTH, WIDTH, N
+        )
+
+    export_tpu(f, tiles_aval(dev))
+
+
+def test_lower_minmax_scan(dev):
+    def f(tiles):
+        return agg_ops.minmax_scan_tiles(
+            tiles, tiles, jnp.arange(4, dtype=jnp.uint32), WIDTH, WIDTH, N
+        )
+
+    export_tpu(f, tiles_aval(dev))
+
+
+@pytest.mark.parametrize("wm", [9, 17])
+def test_lower_masked_aggregate(wm):
+    vals = (np.arange(N, dtype=np.uint32) * 11 + 1) & ((1 << wm) - 1)
+    mdev = layout.pack_device(vals, wm)
+
+    def f(tiles, bits):
+        # tiles-level call: masked_aggregate_device finalizes sums on host
+        row = agg_ops.bits_from_canonical(bits, tiles.shape[1])
+        return agg_ops.masked_aggregate_tiles(tiles, row, wm, N)
+
+    export_tpu(
+        f,
+        tiles_aval(mdev),
+        jax.ShapeDtypeStruct((layout.bitvector_words(N),), jnp.uint32),
+    )
+
+
+@pytest.mark.parametrize("w", [1, 9, 17, 31])
+def test_lower_unpack_pack(w):
+    vals = (np.arange(N, dtype=np.uint32) * 13 + 5) & ((1 << w) - 1)
+    d = layout.pack_device(vals, w)
+
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=w, n=N)
+        flat = unpack_ops.unpack_device(dd)
+        return unpack_ops.pack_device_kernel(flat, w).tiles
+
+    export_tpu(f, tiles_aval(d))
