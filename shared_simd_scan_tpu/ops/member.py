@@ -19,8 +19,11 @@ Tiers (static dispatch on the concrete key set, mirroring
   windowed kernels) and one AND against the window's 32-bit membership
   mask tests all its keys at once; cost ~5 vector ops per (value, window)
   regardless of how many keys the window holds;
-- anything else (spread or traced keys): an OR of equality compares
-  (~2 ops per (value, key)).
+- spread keys, small k: an OR of equality compares (~2 ops per
+  (value, key)) or the bit-sliced XOR+AND plane fold (~0.6);
+- spread keys, large k (>= ~40 at width 9, width <= 12): a *domain
+  bitmap* — the whole key set as a 2^width-bit table in SMEM, per value
+  a select-tree word lookup + one-hot bit test, cost FLAT in k.
 
 Key sets too large to unroll in one kernel body ride a second grid
 dimension in chunks (of 32 keys / 32 windows); each chunk emits a partial
@@ -152,6 +155,87 @@ def _member_chunked_window_kernel(
             m = _onehot32(v - win_ref[w, 0], gateless) & win_ref[w, 1]
             acc = acc | jnp.where(m != jnp.uint32(0), bit, jnp.uint32(0))
     _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
+
+
+def _member_domain_kernel(
+    off_ref, tab_ref, in_ref, bits_ref, cnt_ref, *, width, tb, n
+):
+    """Single grid dim: domain-bitmap membership -> one member row.
+
+    The whole key set is a 2^width-bit bitmap ``T`` ((nwords, 1) uint32 in
+    SMEM, nwords = 2^width/32); per value the word ``T[v >> 5]`` is picked
+    by a select tree over the high bits (nwords - 1 vector selects — no
+    gather exists in Mosaic) and bit ``v & 31`` tested with an always-
+    in-range shift (< 32, so no saturation semantics involved).  Cost is
+    FLAT in k: ~(3*(width-5) + nwords + 7) vector ops per value — the
+    only member tier whose per-value cost does not grow with the key
+    count, so it wins for spread key sets past k ~= 40 at width 9."""
+    i = pl.program_id(0)
+    nwords = max(1, (1 << width) // 32)
+    one = jnp.uint32(1)
+    acc = jnp.zeros((tb, LANES), jnp.uint32)
+    for r, v in _unpack_block_values(in_ref, width):
+        if nwords == 1:
+            word = tab_ref[0, 0]
+        else:
+            hi = v >> jnp.uint32(5)
+            preds = [
+                ((hi >> jnp.uint32(j)) & one) != jnp.uint32(0)
+                for j in range(width - 5)
+            ]
+            nodes = [tab_ref[t, 0] for t in range(nwords)]
+            for p in preds:
+                nodes = [
+                    jnp.where(p, nodes[2 * t + 1], nodes[2 * t])
+                    for t in range(len(nodes) // 2)
+                ]
+            word = nodes[0]
+        m = (one << (v & jnp.uint32(31))) & word
+        acc = acc | jnp.where(
+            m != jnp.uint32(0), jnp.uint32(1 << r), jnp.uint32(0)
+        )
+    _store_rows_tail_masked(off_ref, i, tb, n, [acc], bits_ref, cnt_ref)
+
+
+@functools.partial(jax.jit, static_argnames=("width", "n", "tb", "interpret"))
+def _member_domain_tiles(tiles, table, width, n, tb, interpret, block_offset):
+    nwords = int(table.shape[0])
+    bits, cnt = _member_call(
+        lambda tbv: functools.partial(
+            _member_domain_kernel, width=width, tb=tbv, n=n
+        ),
+        table, nwords, tiles, width, n, tb, interpret, block_offset,
+    )
+    return bits[0], jnp.sum(cnt.astype(jnp.uint32))
+
+
+def domain_table(keys, width: int) -> jax.Array:
+    """Key set -> (2^width/32, 1) uint32 membership bitmap (bit ``v & 31``
+    of word ``v >> 5`` set iff v is in the set).  Works on traced keys:
+    the OR-scatter is a tiny (nwords, k) compare + OR-reduce in XLA, so
+    duplicates merge correctly either way."""
+    nwords = max(1, (1 << width) // 32)
+    keys = jnp.asarray(keys, jnp.uint32)
+    hi = (keys >> jnp.uint32(5)).astype(jnp.uint32)
+    bit = jnp.uint32(1) << (keys & jnp.uint32(31))
+    t = jnp.arange(nwords, dtype=jnp.uint32)
+    terms = jnp.where(hi[None, :] == t[:, None], bit[None, :], jnp.uint32(0))
+    tab = jax.lax.reduce(
+        terms, jnp.uint32(0), jax.lax.bitwise_or, (1,)
+    )
+    return tab.reshape(nwords, 1)
+
+
+def _domain_member_cost(width: int) -> int:
+    """Static cost (quarter-ops-per-value) of the domain-bitmap kernel:
+    unpack ~14, high-bit predicates 3*(width-5), select tree nwords-1,
+    low-bit test + accumulate ~5.  Flat in k.  Widths past 12 are priced
+    out entirely: a >127-select unroll is compile-hostile and the cost
+    rule would only pick it at key counts the other tiers handle."""
+    if width > 12:
+        return 1 << 30
+    nwords = max(1, (1 << width) // 32)
+    return 14 + 4 * (3 * max(0, width - 5) + (nwords - 1) + 5)
 
 
 def _member_bitsliced_kernel(
@@ -386,11 +470,15 @@ def member_dispatch_tier(arr: np.ndarray, width: int) -> str:
     k = int(arr.shape[0])
     if _consecutive_span(arr) is not None:
         return "interval"
+    costs = {
+        "compare": 10 * k,
+        "bitsliced": 48 + (2 * width + 1) * k // 8,
+        "domain": _domain_member_cost(width),
+    }
     bases, _ = member_window_plan(arr)
-    alt = min(10 * k, 48 + (2 * width + 1) * k // 8)
-    if 20 * len(bases) < alt:
+    if 20 * len(bases) < min(costs.values()):
         return "window"
-    return "bitsliced" if _bitsliced_member_wins(width, k) else "compare"
+    return min(costs, key=costs.get)
 
 
 def member_scan_tiles(
@@ -454,7 +542,20 @@ def member_scan_tiles(
                 tiles, win, width, n, tb, interpret, wrows, gateless,
                 block_offset,
             )
+        if tier == "domain":
+            return _member_domain_tiles(
+                tiles, domain_table(arr, width), width, n, tb, interpret,
+                block_offset,
+            )
     keys2 = jnp.asarray(keys, jnp.uint32).reshape(k, 1)
+    if _domain_member_cost(width) < min(
+        10 * k, 48 + (2 * width + 1) * k // 8
+    ):
+        # flat-in-k domain bitmap; the table build works on traced keys too
+        return _member_domain_tiles(
+            tiles, domain_table(keys2[:, 0], width), width, n, tb,
+            interpret, block_offset,
+        )
     if _bitsliced_member_wins(width, k):
         krows = min(k, _MAX_COMPARE_KEYS)
         pad = (-k) % krows
@@ -497,4 +598,5 @@ __all__ = [
     "member_scan_tiles",
     "member_scan_device",
     "member_window_plan",
+    "domain_table",
 ]

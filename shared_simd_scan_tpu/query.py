@@ -384,6 +384,8 @@ def _member_tier_name(keys: tuple, width: int) -> str:
     if tier == "window":
         bases, _ = member_ops.member_window_plan(arr)
         return f"member:window-popmask({len(bases)} windows)"
+    if tier == "domain":
+        return f"member:domain-bitmap({max(1, (1 << width) // 32)} words)"
     return f"member:{'bit-sliced' if tier == 'bitsliced' else 'compare'}"
 
 

@@ -86,19 +86,71 @@ def test_member_chunked_window_many_clusters():
     _check(vals, dev, keys, bits, count)
 
 
-@pytest.mark.parametrize("k", [8, 32, 100])
-def test_member_bitsliced_tier_spread(k):
+@pytest.mark.parametrize("width,k", [(9, 8), (9, 32), (13, 100)])
+def test_member_bitsliced_tier_spread(width, k):
     # spread keys past the cost rule -> bit-sliced tier (single chunk at
-    # k <= 32, OR'd partial rows above)
-    width, n = 9, 25_000
+    # k <= 32, OR'd partial rows above; width 13 prices out the domain
+    # bitmap so k=100 exercises the multi-chunk bit-sliced path)
+    n = 25_000
     vals, col = _col(width, n, seed=40 + k)
     dev = layout.to_device(col)
     keys = ((np.arange(k, dtype=np.uint32) * 37 + 11) % (1 << width)).astype(
         np.uint32
     )
-    assert member_ops._bitsliced_member_wins(width, k)
+    assert member_ops.member_dispatch_tier(keys, width) == "bitsliced"
     bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
     _check(vals, dev, keys, bits, count)
+
+
+@pytest.mark.parametrize("width,k", [(7, 16), (9, 64), (11, 128)])
+def test_member_domain_tier_spread(width, k):
+    # spread keys past the flat-cost crossover -> domain-bitmap tier
+    n = 25_000
+    vals, col = _col(width, n, seed=60 + width)
+    dev = layout.to_device(col)
+    keys = ((np.arange(k, dtype=np.uint32) * 37 + 11) % (1 << width)).astype(
+        np.uint32
+    )
+    assert member_ops.member_dispatch_tier(keys, width) == "domain"
+    bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
+    _check(vals, dev, keys, bits, count)
+
+
+def test_member_domain_traced_keys():
+    # traced keys hit the domain tier through the cost fall-through; the
+    # bitmap build is a tiny XLA OR-reduce so it works under jit
+    width, k, n = 9, 64, 20_000
+    vals, col = _col(width, n, seed=77)
+    dev = layout.to_device(col)
+    keys = ((np.arange(k, dtype=np.uint32) * 53 + 3) % (1 << width)).astype(
+        np.uint32
+    )
+
+    @jax.jit
+    def run(tiles, ks):
+        return member_ops.member_scan_tiles(
+            tiles, ks, width, dev.n, interpret=True
+        )
+
+    bits, count = run(dev.tiles, jnp.asarray(keys))
+    n_words = layout.bitvector_words(n)
+    canon = bits.reshape(-1)[:n_words]
+    expect = np.isin(vals, keys)
+    assert int(count) == int(expect.sum())
+    assert bitvector.to_bytes(canon, n) == np.packbits(
+        expect, bitorder="little"
+    ).tobytes()
+
+
+def test_domain_table_bits_and_duplicates():
+    width = 9
+    keys = np.array([0, 31, 32, 511, 511, 7, 7], np.uint32)
+    tab = np.asarray(member_ops.domain_table(keys, width)).reshape(-1)
+    assert tab.shape[0] == (1 << width) // 32
+    expect = np.zeros_like(tab)
+    for key in set(keys.tolist()):
+        expect[key // 32] |= np.uint32(1) << np.uint32(key % 32)
+    np.testing.assert_array_equal(tab, expect)
 
 
 def test_member_bitsliced_direct_out_of_domain():

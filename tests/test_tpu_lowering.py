@@ -217,13 +217,45 @@ def member_fn(d, keys):
         ),
         ("compare", np.array([3, 100, 317], np.uint32)),
         ("bitsliced", spread_keys(8)),
-        ("bitsliced-multichunk", spread_keys(100)),
+        ("domain", spread_keys(100)),
     ],
 )
 def test_lower_member_tiers(dev, name, keys):
     tier = member_ops.member_dispatch_tier(keys, WIDTH)
     assert tier.startswith(name.split("-multichunk")[0]), (name, tier)
     export_tpu(member_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_member_bitsliced_multichunk(dev):
+    # direct tile call: dispatch routes k=100 spread at width 9 to the
+    # domain tier now, but the multi-chunk bit-sliced kernel must keep
+    # lowering (it is the dispatch winner at widths > 12)
+    keys2 = jnp.asarray(spread_keys(100)).reshape(100, 1)
+    pad = (-100) % 32
+    keys2 = jnp.concatenate(
+        [keys2, jnp.full((pad, 1), 0xFFFFFFFF, jnp.uint32)], axis=0
+    )
+    export_tpu(
+        lambda tiles: member_ops._member_bitsliced_tiles(
+            tiles, keys2, WIDTH, N, None, False, 32, 0
+        ),
+        tiles_aval(dev),
+    )
+
+
+@pytest.mark.parametrize("w", [7, 9, 12])
+def test_lower_member_domain(w):
+    vals = (np.arange(N, dtype=np.uint32) * 7 + 3) & ((1 << w) - 1)
+    d = layout.pack_device(vals, w)
+
+    def f(tiles):
+        return member_ops._member_domain_tiles(
+            tiles,
+            member_ops.domain_table(np.arange(5, 100, 3, np.uint32) % (1 << w), w),
+            w, N, None, False, 0,
+        )
+
+    export_tpu(f, tiles_aval(d))
 
 
 def test_lower_member_chunked_compare(dev):
