@@ -52,13 +52,24 @@ def main(argv):
             out_path = a
     size = parse_size(data_size)
 
-    n = harness.values_for(size, WIDTH)
     rng = np.random.default_rng(5)
-    vals_np = rng.integers(0, 1 << WIDTH, n, dtype=np.uint32)
-    dev = unpack_ops.pack_device_kernel(jnp.asarray(vals_np), WIDTH)
+    # k bitvector rows live in HBM during the run: cap the column so the
+    # bits output stays under ~4 GB (k=256 at 512 MiB packed would need
+    # 15 GB of bitvectors and OOM the 16 GB chip — measured).
+    BITS_BUDGET = 4 << 30
+    cols: dict[int, tuple] = {}
+
+    def col_for(k):
+        nk = min(harness.values_for(size, WIDTH), BITS_BUDGET * 8 // k)
+        nk = max(1 << 20, nk // 4096 * 4096)
+        if nk not in cols:
+            v = rng.integers(0, 1 << WIDTH, nk, dtype=np.uint32)
+            cols[nk] = (v, unpack_ops.pack_device_kernel(jnp.asarray(v), WIDTH))
+        return nk, *cols[nk]
 
     rows = []
     for k in ks:
+        n, vals_np, dev = col_for(k)
         keys = rng.permutation(1 << WIDTH)[: min(k, 1 << WIDTH)].astype(
             np.uint32
         )

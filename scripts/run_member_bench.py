@@ -48,9 +48,13 @@ def cases():
         )),
         ("compare", 4, tuple(int(x) for x in (np.arange(4) * 61 + 3) % 512)),
         ("bitsliced", 8, tuple(int(x) for x in (np.arange(8) * 61 + 3) % 512)),
-        ("bitsliced", 100, tuple(
+        ("bitsliced", 32, tuple(
+            int(x) for x in np.unique((np.arange(32) * 61 + 3) % 512)
+        )),
+        ("domain", 100, tuple(
             int(x) for x in np.unique((np.arange(100) * 37 + 11) % 512)
         )),
+        ("domain", 256, tuple(int(x) for x in np.arange(256) * 2 + 1)),
     ]
 
 
@@ -77,6 +81,8 @@ def main(argv):
 
     rows = []
     for tier, k, keys in cases():
+        got = member_ops.member_dispatch_tier(np.asarray(keys, np.uint32), WIDTH)
+        assert got == tier, f"row labelled {tier} but dispatch picks {got}"
         # verify on device before timing (full-count check vs direct compare)
         _, cnt = member_ops.member_scan_tiles(
             dev.tiles, np.asarray(keys, np.uint32), WIDTH, n
