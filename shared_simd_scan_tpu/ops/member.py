@@ -19,11 +19,17 @@ Tiers (static dispatch on the concrete key set, mirroring
   windowed kernels) and one AND against the window's 32-bit membership
   mask tests all its keys at once; cost ~5 vector ops per (value, window)
   regardless of how many keys the window holds;
-- spread keys, small k: an OR of equality compares (~2 ops per
+- spread CONCRETE keys, any k: the *static OR-tree* — the whole key set
+  collapses at trace time into a Shannon-factored AND/OR/NOT DAG over
+  the block's bit planes (scan._member_or_tree), memoized so common
+  sub-patterns are computed once; its counted cost undercuts every
+  other tier at every measured k (see member_ortree_cost);
+- spread TRACED keys, small k: an OR of equality compares (~2 ops per
   (value, key)) or the bit-sliced XOR+AND plane fold (~0.6);
-- spread keys, large k (>= ~40 at width 9, width <= 12): a *domain
-  bitmap* — the whole key set as a 2^width-bit table in SMEM, per value
-  a select-tree word lookup + one-hot bit test, cost FLAT in k.
+- spread TRACED keys, large k (>= ~40 at width 9, width <= 12): a
+  *domain bitmap* — the whole key set as a 2^width-bit table in SMEM,
+  per value a select-tree word lookup + one-hot bit test, cost FLAT
+  in k.
 
 Key sets too large to unroll in one kernel body ride a second grid
 dimension in chunks (of 32 keys / 32 windows); each chunk emits a partial
@@ -46,8 +52,10 @@ from shared_simd_scan_tpu.layout import (
     DeviceColumn,
 )
 from shared_simd_scan_tpu.ops.scan import (
+    _member_or_tree,
     _onehot32,
     _pick_tb,
+    _static_dag_ops,
     _store_rows_tail_masked,
     _transpose_bitplanes,
     bits_to_canonical,
@@ -238,6 +246,63 @@ def _domain_member_cost(width: int) -> int:
     return 14 + 4 * (3 * max(0, width - 5) + (nwords - 1) + 5)
 
 
+def _member_ortree_kernel(
+    off_ref, dummy_ref, in_ref, bits_ref, cnt_ref, *, width, tb, n, patterns
+):
+    """Single grid dim: Shannon-factored static OR-tree over the block's
+    bit planes -> one member row.
+
+    The CONCRETE key set collapses into a pure AND/OR/NOT DAG over the
+    ``width`` bit planes (scan._member_or_tree): patterns are grouped by
+    their high-span projection, each group pays one memoized high-span
+    combo AND one recursive low-span OR-tree, so common sub-patterns are
+    computed once for the WHOLE set.  Counted cost for spread keys at
+    width 9: ~58 ops per 32 values at k=8 up to ~360 at k=256 — below
+    every other tier at every k (domain bitmap: ~410, compare: 32*k).
+    ``patterns`` must be in-domain, deduplicated and sorted (the
+    dispatcher guarantees this so the jit cache keys canonically)."""
+    i = pl.program_id(0)
+    vs = [v for _, v in _unpack_block_values(in_ref, width)]
+    planes = _transpose_bitplanes(vs, width)
+    row = _member_or_tree(planes, 0, width, patterns, {})
+    if row is None:
+        # every domain value is in the set: all-match (tail still masked)
+        row = jnp.full((tb, LANES), 0xFFFFFFFF, jnp.uint32)
+    _store_rows_tail_masked(off_ref, i, tb, n, [row], bits_ref, cnt_ref)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "tb", "interpret", "patterns")
+)
+def _member_ortree_tiles(tiles, width, n, tb, interpret, patterns, block_offset):
+    dummy = jnp.zeros((1, 1), jnp.uint32)
+    ops = _static_dag_ops(width, patterns, member=True)
+    bits, cnt = _member_call(
+        lambda tbv: functools.partial(
+            _member_ortree_kernel, width=width, tb=tbv, n=n, patterns=patterns
+        ),
+        dummy, 1, tiles, width, n, tb, interpret, block_offset,
+        extra_rows=width + 32 + min(64, ops // 8),
+    )
+    return bits[0], jnp.sum(cnt.astype(jnp.uint32))
+
+
+# DAG-size cap for the OR-tree tier: bounds kernel-body size (compile
+# time + VMEM spill pressure); sets past it fall through to the flat-cost
+# domain bitmap / chunked tiers by the dispatch rule.
+_ORTREE_MAX_OPS = 4096
+
+
+def member_ortree_cost(width: int, arr) -> int:
+    """Static cost (quarter-ops-per-value) of the OR-tree member kernel
+    for THIS key set: fixed unpack + pruned transpose (~40) plus the
+    exact counted AND/OR/NOT ops of the factored DAG."""
+    ops = _static_dag_ops(width, np.asarray(arr, np.uint32).tolist(), member=True)
+    if ops > _ORTREE_MAX_OPS:
+        return 1 << 30
+    return 40 + -(-ops // 8)
+
+
 def _member_bitsliced_kernel(
     off_ref, keys_ref, in_ref, bits_ref, cnt_ref, planes, *,
     width, tb, n, krows, nchunks,
@@ -252,7 +317,7 @@ def _member_bitsliced_kernel(
     0xFFFFFFFF chunk padding sentinel) are killed by a scalar mask."""
     def _fill():
         vs = [v for _, v in _unpack_block_values(in_ref, width)]
-        ps = _transpose_bitplanes(vs)
+        ps = _transpose_bitplanes(vs, width)
         for p in range(width):
             planes[p] = ps[p]
 
@@ -315,6 +380,7 @@ def _member_tb(width: int, extra: int, b1: int, tb: int | None) -> int:
 def _member_call(
     kernel_fn, operand, op_rows: int, tiles, width, n, tb, interpret,
     block_offset, nchunks: int = 1, scratch_rows: int = 0,
+    extra_rows: int = 0,
 ):
     """Shared pallas_call plumbing for the member kernels.
 
@@ -323,10 +389,12 @@ def _member_call(
     partials.  ``operand`` is the SMEM table ((op_rows, cols) uint32);
     ``kernel_fn(tb)`` builds the kernel for the chosen sublane tile;
     ``scratch_rows`` rows of (tb, LANES) uint32 VMEM scratch are passed to
-    the kernel when nonzero."""
+    the kernel when nonzero; ``extra_rows`` budgets additional live
+    (tb, LANES) vectors the kernel body holds (DAG intermediates) so the
+    tile auto-size keeps the working set inside VMEM."""
     _, b1, lanes = tiles.shape
     assert lanes == LANES
-    extra = scratch_rows + 8
+    extra = scratch_rows + extra_rows + 8
     tb = _member_tb(width, extra, b1, tb)
     kernel = kernel_fn(tb)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
@@ -461,16 +529,19 @@ def _consecutive_span(arr: np.ndarray) -> int | None:
 
 def member_dispatch_tier(arr: np.ndarray, width: int) -> str:
     """The tier member_scan_tiles dispatches for concrete keys:
-    'interval' | 'window' | 'bitsliced' | 'compare'.  THE single home of
-    the dispatch cost rule (quarter-ops-per-value units: window ~20 per
-    touched window, compare ~10 per key, bit-sliced 48 fixed +
-    (2*width+1)/8 per key) — query.explain names tiers from this same
-    function, so retuning the constants cannot desynchronize them."""
+    'interval' | 'ortree' | 'window' | 'bitsliced' | 'domain' |
+    'compare'.  THE single home of the dispatch cost rule
+    (quarter-ops-per-value units: OR-tree 40 fixed + counted-DAG-ops/8,
+    window ~20 per touched window, compare ~10 per key, bit-sliced 48
+    fixed + (2*width+1)/8 per key, domain bitmap flat) — query.explain
+    names tiers from this same function, so retuning the constants cannot
+    desynchronize them."""
     arr = np.asarray(arr, dtype=np.uint32)
     k = int(arr.shape[0])
     if _consecutive_span(arr) is not None:
         return "interval"
     costs = {
+        "ortree": member_ortree_cost(width, arr),
         "compare": 10 * k,
         "bitsliced": 48 + (2 * width + 1) * k // 8,
         "domain": _domain_member_cost(width),
@@ -520,6 +591,18 @@ def member_scan_tiles(
                 interpret=interpret, block_offset=block_offset,
             )
             return bits[0], cnt[0]
+        if tier == "ortree":
+            dom = 1 << width
+            pats = tuple(sorted({int(v) for v in arr.tolist() if int(v) < dom}))
+            if not pats:
+                # every key out of domain: nothing can match
+                return (
+                    jnp.zeros(tiles.shape[1:], jnp.uint32),
+                    jnp.uint32(0),
+                )
+            return _member_ortree_tiles(
+                tiles, width, n, tb, interpret, pats, block_offset
+            )
         if tier == "window":
             bases, pops = member_window_plan(arr)
             nwin = len(bases)

@@ -242,17 +242,21 @@ def shared_scan_device(
     Dispatch (static, on the concrete key set when available):
     - consecutive run lo..lo+k-1 (the reference benchmark's own shape):
       the O(1)-in-k interval kernel;
-    - concrete clustered keys, any k: the windowed kernel when its static
-      cost beats both the compare kernels' and the bit-sliced kernel's;
-    - spread or traced keys past the cost crossover (k >= 5 at width 9):
-      the bit-sliced kernel (any k);
+    - other concrete key sets: the cheapest of {windowed, static AND-DAG
+      bit-sliced, general compare} by counted static cost — the AND-DAG
+      tier prices the exact DAG its key set compiles to
+      (:func:`bitsliced_static_cost`), so clustered sets that share
+      subtree structure and spread sets are both handled;
+    - traced keys past the cost crossover (k >= 5 at width 9): the
+      dynamic bit-sliced kernel (any k);
     - otherwise: the general static compare kernel.
 
     The key inspection happens BEFORE any jnp conversion: inside a jit
     trace ``jnp.asarray`` stages even a numpy constant into a Tracer,
     which would silently demote concrete keys to the traced-fallback
     compare tier."""
-    if not isinstance(keys, jax.core.Tracer):
+    traced = isinstance(keys, jax.core.Tracer)
+    if not traced:
         keys = np.asarray(keys, dtype=np.uint32)
     k = int(keys.shape[0])
     lo = _consecutive_lo(keys)
@@ -260,14 +264,22 @@ def shared_scan_device(
         bits, counts = interval_scan_tiles(
             dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret,
         )
-    elif (
-        not isinstance(keys, jax.core.Tracer)
-        and k >= 2
-        and windowed_cost(keys) < min(12 * k, bitsliced_cost(dev.width, k))
-    ):
-        bits, counts = windowed_scan_tiles(
-            dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
-        )
+    elif not traced:
+        cost_cmp = 4 + 12 * k
+        cost_dag = bitsliced_static_cost(dev.width, keys)
+        cost_win = windowed_cost(keys) if k >= 2 else 1 << 30
+        if cost_win < min(cost_cmp, cost_dag):
+            bits, counts = windowed_scan_tiles(
+                dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+            )
+        elif cost_dag < cost_cmp:
+            bits, counts = shared_scan_bitsliced_static_tiles(
+                dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+            )
+        else:
+            bits, counts = shared_scan_tiles(
+                dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+            )
     elif _bitsliced_wins(dev.width, k):
         bits, counts = shared_scan_bitsliced_tiles(
             dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
@@ -1205,20 +1217,58 @@ def shared_scan_chunked_tiles(
 # by a per-key scalar mask since only ``width`` planes are compared.
 
 
-def _transpose_bitplanes(vs):
-    """32 words of 32 values -> 32 bit-plane words (plane p, bit r = bit p
-    of vs[r]); callers keep planes [:width].  5-stage SWAPMOVE butterfly,
-    orientation chosen so no bit reversal is needed."""
-    x = list(vs)
+def _transpose_stages():
+    """(shift, mask) per SWAPMOVE butterfly stage, in forward order."""
+    stages = []
     j, m = 16, 0x0000FFFF
     while j:
-        for i in range(BLOCK_VALUES):
-            if i & j == 0:
-                x[i], x[i + j] = _swapmove(x[i], x[i + j], m, j)
+        stages.append((j, m))
         j >>= 1
         if j:
             m = m ^ ((m << j) & 0xFFFFFFFF)
-    return x
+    return stages
+
+
+def _transpose_bitplanes(vs, nplanes: int = BLOCK_VALUES):
+    """32 words of 32 values -> the first ``nplanes`` bit-plane words
+    (plane p, bit r = bit p of vs[r]).  5-stage SWAPMOVE butterfly,
+    orientation chosen so no bit reversal is needed.
+
+    The butterfly is pruned to the live planes explicitly rather than
+    trusting Mosaic DCE: liveness is propagated backward from the
+    ``nplanes`` outputs, pairs with no live output are skipped, and pairs
+    with one live output use a one-sided 4-op merge instead of the 6-op
+    SWAPMOVE (a' = (a & ~(m<<s)) | ((b & m) << s)).  At nplanes=9 this is
+    196 vector ops vs the full butterfly's 480."""
+    stages = _transpose_stages()
+    live = set(range(nplanes))
+    live_after: list[set] = [set()] * len(stages)
+    for si in range(len(stages) - 1, -1, -1):
+        live_after[si] = live
+        j = stages[si][0]
+        live = {
+            i
+            for i in range(BLOCK_VALUES)
+            if (i & ~j) in live or ((i & ~j) | j) in live
+        }
+    x = list(vs)
+    for (j, m), out_live in zip(stages, live_after):
+        ju = jnp.uint32(j)
+        mu = jnp.uint32(m)
+        for i in range(BLOCK_VALUES):
+            if i & j:
+                continue
+            a_live, b_live = i in out_live, (i + j) in out_live
+            if not (a_live or b_live):
+                continue
+            a, b = x[i], x[i + j]
+            if a_live and b_live:
+                x[i], x[i + j] = _swapmove(a, b, m, j)
+            elif a_live:
+                x[i] = (a & jnp.uint32(~(m << j) & 0xFFFFFFFF)) | ((b & mu) << ju)
+            else:
+                x[i + j] = (b & jnp.uint32(~m & 0xFFFFFFFF)) | ((a >> ju) & mu)
+    return x[:nplanes]
 
 
 def _shared_scan_bitsliced_kernel(
@@ -1229,7 +1279,7 @@ def _shared_scan_bitsliced_kernel(
     @pl.when(c == 0)
     def _fill():
         vs = [v for _, v in _unpack_block_values(in_ref, width)]
-        ps = _transpose_bitplanes(vs)
+        ps = _transpose_bitplanes(vs, width)
         for p in range(width):
             planes[p] = ps[p]
 
@@ -1313,6 +1363,296 @@ def shared_scan_bitsliced_tiles(
     if kpad != k:
         bits, counts = bits[:k], counts[:k]
     return bits, counts
+
+
+# ---------------------------------------------------------------------------
+# Static bit-sliced shared scan: CONCRETE keys via a shared AND-DAG
+# ---------------------------------------------------------------------------
+#
+# When the key set is concrete its bits are known at trace time, so the
+# per-key XOR+AND plane fold (2*width ops/key) collapses into a pure
+# AND-DAG over the planes and their negations:
+#
+#     match(key) = AND_p (bit_p(key) ? plane_p : ~plane_p)
+#
+# built as a balanced binary tree over the bit span with every subtree
+# memoized — keys sharing a bit-pattern prefix (or any aligned sub-span
+# pattern) share the subtree, so the counted cost for k spread keys at
+# width 9 is ~57 ops per 32 values at k=8 (vs 144 for the XOR form) and
+# ~113 at k=32 (vs 576).  The same DAG serves the IN-list kernel
+# (ops/member.py) through :func:`_member_or_tree`, which additionally
+# factors the OR across keys (Shannon-style) instead of materializing
+# per-key rows.  Cost functions below COUNT the exact DAG ops on a
+# stand-in operand, so the dispatch crossover is computed per key set
+# rather than estimated.
+
+
+def _combo(planes, lo, hi, pattern: int, memo: dict):
+    """Vector with bit r set iff bits [lo, hi) of value r equal ``pattern``.
+
+    ``planes`` are the bit-plane words; subtrees are memoized in ``memo``
+    (shared across every key of one kernel body) so common sub-patterns
+    cost one AND total."""
+    if hi - lo == 1:
+        if pattern:
+            return planes[lo]
+        key = ("~", lo)
+        hit = memo.get(key)
+        if hit is None:
+            hit = memo[key] = ~planes[lo]
+        return hit
+    key = (lo, hi, pattern)
+    hit = memo.get(key)
+    if hit is None:
+        mid = (lo + hi + 1) // 2
+        lob = mid - lo
+        a = _combo(planes, lo, mid, pattern & ((1 << lob) - 1), memo)
+        b = _combo(planes, mid, hi, pattern >> lob, memo)
+        hit = memo[key] = a & b
+    return hit
+
+
+def _member_or_tree(planes, lo, hi, patterns, memo: dict):
+    """Vector with bit r set iff bits [lo, hi) of value r are IN
+    ``patterns`` — the OR across keys factored Shannon-style: patterns are
+    grouped by their high-span projection, each group pays one high-span
+    combo AND one recursive low-span OR-tree.  Returns None when every
+    pattern of the span is present (all-match; callers drop the AND)."""
+    span = hi - lo
+    pats = sorted(set(patterns))
+    if len(pats) == (1 << span):
+        return None
+    if len(pats) == 1:
+        return _combo(planes, lo, hi, pats[0], memo)
+    key = ("or", lo, hi, tuple(pats))
+    hit = memo.get(key)
+    if hit is not None:
+        return hit
+    mid = (lo + hi + 1) // 2
+    lob = mid - lo
+    groups: dict[int, list[int]] = {}
+    for p in pats:
+        groups.setdefault(p >> lob, []).append(p & ((1 << lob) - 1))
+    acc = None
+    for hp in sorted(groups):
+        lo_t = _member_or_tree(planes, lo, mid, groups[hp], memo)
+        hi_t = _combo(planes, mid, hi, hp, memo)
+        term = hi_t if lo_t is None else hi_t & lo_t
+        acc = term if acc is None else acc | term
+    memo[key] = acc
+    return acc
+
+
+class _CountVec:
+    """Stand-in DAG operand: every AND/OR/NOT bumps a shared counter, so
+    dispatch can price the exact DAG a concrete key set would compile to
+    without tracing anything."""
+
+    __slots__ = ("ctr",)
+
+    def __init__(self, ctr):
+        self.ctr = ctr
+
+    def _op(self, other=None):
+        self.ctr[0] += 1
+        return self
+
+    __and__ = _op
+    __or__ = _op
+
+    def __invert__(self):
+        return self._op()
+
+
+def _static_dag_ops(width: int, keys, member: bool = False) -> int:
+    """Counted vector ops of the match DAG for one kernel body (one key
+    chunk, or the whole set for the member OR-tree)."""
+    ctr = [0]
+    planes = [_CountVec(ctr) for _ in range(width)]
+    memo: dict = {}
+    dom = 1 << width
+    in_dom = [int(k) for k in keys if int(k) < dom]
+    if member:
+        if in_dom:
+            _member_or_tree(planes, 0, width, in_dom, memo)
+    else:
+        for key in in_dom:
+            _combo(planes, 0, width, key, memo)
+    return ctr[0]
+
+
+# Fixed cost of the bit-sliced tiers in quarter-ops-per-value units:
+# unpack (~80 ops/32 values) + pruned transpose (196 at width 9) + plane
+# handling, /8 to convert ops-per-32-values to quarter-ops-per-value.
+_BITSLICED_FIXED = 40
+
+
+def bitsliced_static_cost(width: int, keys) -> int:
+    """Static cost (quarter-ops-per-value) of the concrete-key bit-sliced
+    kernel for THIS key set: fixed unpack+transpose plus the exact counted
+    AND/NOT ops of the shared match DAG, summed over its key chunks."""
+    arr = np.asarray(keys, dtype=np.uint32)
+    k = int(arr.shape[0])
+    ops = 0
+    for g0 in range(0, k, 8 * 32):  # the impl's per-call key groups
+        sub = arr[g0 : g0 + 8 * 32]
+        ks = int(sub.shape[0])
+        krows = _interval_krows(ks) if ks > 32 else min(ks, 32)
+        ops += sum(
+            _static_dag_ops(width, sub[c0 : c0 + krows].tolist())
+            for c0 in range(0, ks, krows)
+        )
+    return _BITSLICED_FIXED + -(-ops // 8)
+
+
+def _shared_scan_bitsliced_static_kernel(
+    off_ref, in_ref, bits_ref, cnt_ref, *scratch_refs,
+    width, tb, n, krows, chunks,
+):
+    """Grid (i[, c]): chunk c's static keys -> bits (krows, tb, 128) via
+    the shared AND-DAG over the block's bit planes.  Out-of-domain keys
+    and chunk padding produce constant-zero rows."""
+    i = pl.program_id(0)
+    dom = 1 << width
+    zero = jnp.zeros((tb, LANES), jnp.uint32)
+
+    def _rows(chunk, planes):
+        memo: dict = {}
+        rows = [
+            _combo(planes, 0, width, int(key), memo) if int(key) < dom else zero
+            for key in chunk
+        ]
+        rows += [zero] * (krows - len(rows))
+        return rows
+
+    if len(chunks) == 1:
+        # single chunk: planes stay in registers, no VMEM scratch round-trip
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        planes = _transpose_bitplanes(vs, width)
+        _store_rows_tail_masked(
+            off_ref, i, tb, n, _rows(chunks[0], planes), bits_ref, cnt_ref
+        )
+        return
+
+    scratch = scratch_refs[0]
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _fill():
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        ps = _transpose_bitplanes(vs, width)
+        for p in range(width):
+            scratch[p] = ps[p]
+
+    for idx, chunk in enumerate(chunks):
+
+        @pl.when(c == idx)
+        def _body(chunk=chunk):
+            planes = [scratch[p] for p in range(width)]
+            _store_rows_tail_masked(
+                off_ref, i, tb, n, _rows(chunk, planes), bits_ref, cnt_ref
+            )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("keys", "width", "n", "tb", "interpret"),
+)
+def _bitsliced_static_tiles_impl(
+    tiles, keys: tuple, width, n, tb, interpret, block_offset
+):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = len(keys)
+    krows = _interval_krows(k) if k > 32 else min(k, 32)
+    nchunks = -(-k // krows)
+    chunks = tuple(
+        tuple(keys[c0 : c0 + krows]) for c0 in range(0, k, krows)
+    )
+    kpad = nchunks * krows
+    # planes scratch (width) + rows (krows) + double-buffered in/out blocks
+    # + transpose transients (~32) + DAG intermediates (bounded by the
+    # biggest chunk's memo, capped here at 64 for the VMEM budget)
+    per_tb = 512 * (2 * width + 2 * krows + width + 32 + 64)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb,) if nchunks == 1 else (b1 // tb, nchunks)
+    ix = (lambda i: (0, 0)) if nchunks == 1 else (lambda i, c: (0, 0))
+    tile_ix = (
+        (lambda i: (0, i, 0)) if nchunks == 1 else (lambda i, c: (0, i, 0))
+    )
+    bits_ix = (
+        (lambda i: (0, i, 0)) if nchunks == 1 else (lambda i, c: (c, i, 0))
+    )
+    cnt_ix = (
+        (lambda i: (i, 0, 0)) if nchunks == 1 else (lambda i, c: (i, c, 0))
+    )
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    bits, cnt = pl.pallas_call(
+        functools.partial(
+            _shared_scan_bitsliced_static_kernel,
+            width=width, tb=tb, n=n, krows=krows, chunks=chunks,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((kpad, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((width, tb, LANES), tile_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((krows, tb, LANES), bits_ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, krows, LANES), cnt_ix, memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((width, tb, LANES), jnp.uint32)] if nchunks > 1 else []
+        ),
+        interpret=interpret,
+    )(off, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    if kpad != k:
+        bits, counts = bits[:k], counts[:k]
+    return bits, counts
+
+
+def shared_scan_bitsliced_static_tiles(
+    tiles: jax.Array,
+    keys,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> tuple[jax.Array, jax.Array]:
+    """Same contract as shared_scan_tiles for any CONCRETE key set: the
+    bit-sliced kernel with the per-key plane fold replaced by the shared
+    AND-DAG (see the design note above).  Raises on traced keys — use
+    shared_scan_bitsliced_tiles for those.  Chunk branches per kernel call
+    are capped at 8 (Mosaic collapses past 8 predicated branches; same
+    limit as the windowed kernel), with one call per 8-chunk group."""
+    if isinstance(keys, jax.core.Tracer):
+        raise TypeError("shared_scan_bitsliced_static_tiles requires concrete keys")
+    arr = np.asarray(keys, dtype=np.uint32)
+    k = int(arr.shape[0])
+    if k < 1:
+        raise ValueError(f"shared scan needs at least one key, got {k}")
+    group = 8 * 32  # <= 8 chunk branches per pallas_call
+    parts = []
+    for g0 in range(0, k, group):
+        sub = tuple(int(v) for v in arr[g0 : g0 + group])
+        parts.append(
+            _bitsliced_static_tiles_impl(
+                tiles, sub, width, n, tb, interpret, block_offset
+            )
+        )
+    if len(parts) == 1:
+        return parts[0]
+    return (
+        jnp.concatenate([b for b, _ in parts]),
+        jnp.concatenate([c for _, c in parts]),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -151,6 +151,33 @@ def _sharded_windowed_scan_tiles(
     )(tiles)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),
+)
+def _sharded_bitsliced_static_scan_tiles(
+    tiles, *, mesh, keys_tuple, width, n, tb, interpret
+):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def local(tiles_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = scan_ops.shared_scan_bitsliced_static_tiles(
+            tiles_l, keys, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, DATA_AXIS, None),
+        out_specs=(P(None, DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles)
+
+
 def sharded_shared_scan(
     dev: DeviceColumn, keys, mesh: Mesh, tb: int | None = None,
     interpret: bool = False,
@@ -179,10 +206,17 @@ def sharded_shared_scan(
                 dev.tiles, jnp.uint32(lo), mesh=mesh, k=k, width=dev.width,
                 n=dev.n, tb=tb, interpret=interpret,
             )
-        if k >= 2 and scan_ops.windowed_cost(keys) < min(
-            12 * k, scan_ops.bitsliced_cost(dev.width, k)
-        ):
+        cost_cmp = 4 + 12 * k
+        cost_dag = scan_ops.bitsliced_static_cost(dev.width, keys)
+        cost_win = scan_ops.windowed_cost(keys) if k >= 2 else 1 << 30
+        if cost_win < min(cost_cmp, cost_dag):
             return _sharded_windowed_scan_tiles(
+                dev.tiles, mesh=mesh,
+                keys_tuple=tuple(int(x) for x in np.asarray(keys)),
+                width=dev.width, n=dev.n, tb=tb, interpret=interpret,
+            )
+        if cost_dag < cost_cmp:
+            return _sharded_bitsliced_static_scan_tiles(
                 dev.tiles, mesh=mesh,
                 keys_tuple=tuple(int(x) for x in np.asarray(keys)),
                 width=dev.width, n=dev.n, tb=tb, interpret=interpret,

@@ -39,6 +39,7 @@ from shared_simd_scan_tpu import bitvector
 from shared_simd_scan_tpu.layout import DeviceColumn
 from shared_simd_scan_tpu.ops import conj as conj_ops
 from shared_simd_scan_tpu.ops import member as member_ops
+from shared_simd_scan_tpu.ops import scan as scan_ops
 
 
 @dataclasses.dataclass(frozen=True)
@@ -386,6 +387,9 @@ def _member_tier_name(keys: tuple, width: int) -> str:
         return f"member:window-popmask({len(bases)} windows)"
     if tier == "domain":
         return f"member:domain-bitmap({max(1, (1 << width) // 32)} words)"
+    if tier == "ortree":
+        ops = scan_ops._static_dag_ops(width, arr.tolist(), member=True)
+        return f"member:or-tree({ops} DAG ops)"
     return f"member:{'bit-sliced' if tier == 'bitsliced' else 'compare'}"
 
 

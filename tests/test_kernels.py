@@ -234,6 +234,105 @@ def test_bitsliced_out_of_domain_and_padding():
     assert np.asarray(scan_ops.bits_to_canonical(bits, n))[1:].sum() == 0
 
 
+@pytest.mark.parametrize("k", [1, 2, 8, 32, 33, 100, 256, 300])
+def test_bitsliced_static_shared_scan_parity(k):
+    # concrete spread keys through the static AND-DAG bit-sliced kernel
+    # (shared memoized combo tree instead of the per-key XOR+AND fold),
+    # cross-checked against the oracle.  k=300 exercises the multi-group
+    # (> 8 chunk branches -> multiple pallas_calls) path.
+    width, n = 9, 50_000
+    vals = _rand_column(width, n, seed=k + 1000)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    keys = (np.arange(k, dtype=np.uint32) * 11 + 5) % (1 << width)
+    bits, counts = scan_ops.shared_scan_bitsliced_static_tiles(
+        dev.tiles, keys, width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+@pytest.mark.parametrize("width", [1, 3, 8, 16, 17, 31])
+def test_bitsliced_static_shared_scan_widths(width):
+    width_dom = min(1 << width, 1 << 16)
+    n, k = 20_000, 24
+    vals = _rand_column(width, n, seed=width + 50)
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    rng = np.random.default_rng(width + 50)
+    keys = rng.integers(0, width_dom, k, dtype=np.uint32)
+    bits, counts = scan_ops.shared_scan_bitsliced_static_tiles(
+        dev.tiles, keys, width, n, interpret=True
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(scan_ops.bits_to_canonical(bits, n)), np.asarray(obits)
+    )
+
+
+def test_bitsliced_static_out_of_domain_and_padding():
+    # out-of-domain keys produce constant-zero rows; key 0 must not match
+    # zero-filled padding blocks; duplicate keys each get their own row
+    width, n = 9, 100
+    vals = _rand_column(width, n, seed=2)
+    dev = layout.pack_device(vals, width)
+    keys = np.array(
+        [0, 512, int(vals[3]) + 512, 0xFFFFFFFF, 0, int(vals[3])], np.uint32
+    )
+    bits, counts = scan_ops.shared_scan_bitsliced_static_tiles(
+        dev.tiles, keys, width, n, interpret=True
+    )
+    counts = np.asarray(counts)
+    assert counts[0] == (vals == 0).sum() == counts[4]
+    assert counts[1] == counts[2] == counts[3] == 0
+    assert counts[5] == (vals == vals[3]).sum()
+    assert np.asarray(scan_ops.bits_to_canonical(bits, n))[1:4].sum() == 0
+
+
+def test_bitsliced_static_rejects_traced_keys():
+    import jax
+
+    width, n = 9, 1000
+    vals = _rand_column(width, n, seed=3)
+    dev = layout.pack_device(vals, width)
+
+    @jax.jit
+    def run(keys):
+        return scan_ops.shared_scan_bitsliced_static_tiles(
+            dev.tiles, keys, width, n, interpret=True
+        )
+
+    with pytest.raises(TypeError, match="concrete keys"):
+        run(jnp.arange(8, dtype=jnp.uint32))
+
+
+def test_shared_scan_device_dispatches_static_dag_for_spread_keys():
+    # concrete spread keys must reach the static AND-DAG tier (not the
+    # dynamic bit-sliced kernel, and not the traced compare fallback)
+    import jax
+
+    width, n = 9, 5000
+    vals = _rand_column(width, n, seed=4)
+    dev_tiles = layout.pack_device(vals, width).tiles
+    keys = (np.arange(8, dtype=np.uint32) * 97 + 5) % 512
+
+    def f(tiles):
+        d = layout.DeviceColumn(width=width, n=n, tiles=tiles)
+        return scan_ops.shared_scan_device(d, keys, interpret=True)[1]
+
+    s = str(jax.make_jaxpr(f)(dev_tiles))
+    assert "_bitsliced_static_tiles_impl" in s
+    # and the result is right
+    d = layout.DeviceColumn(width=width, n=n, tiles=dev_tiles)
+    _, counts = scan_ops.shared_scan_device(d, keys, interpret=True)
+    for j in range(8):
+        assert int(counts[j]) == int((vals == keys[j]).sum())
+
+
 def test_bitsliced_traced_keys():
     # nothing inspects key VALUES, so the kernel must work with keys
     # produced inside a jit trace (the dynamic-kernel use case)

@@ -87,31 +87,88 @@ def test_member_chunked_window_many_clusters():
 
 
 @pytest.mark.parametrize("width,k", [(9, 8), (9, 32), (13, 100)])
-def test_member_bitsliced_tier_spread(width, k):
-    # spread keys past the cost rule -> bit-sliced tier (single chunk at
-    # k <= 32, OR'd partial rows above; width 13 prices out the domain
-    # bitmap so k=100 exercises the multi-chunk bit-sliced path)
+def test_member_bitsliced_tier_traced(width, k):
+    # TRACED spread keys past the cost rule -> dynamic bit-sliced tier
+    # (single chunk at k <= 32, OR'd partial rows above; width 13 prices
+    # out the domain bitmap so k=100 exercises the multi-chunk path).
+    # Concrete keys now always prefer the static OR-tree.
     n = 25_000
     vals, col = _col(width, n, seed=40 + k)
     dev = layout.to_device(col)
     keys = ((np.arange(k, dtype=np.uint32) * 37 + 11) % (1 << width)).astype(
         np.uint32
     )
-    assert member_ops.member_dispatch_tier(keys, width) == "bitsliced"
-    bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
+
+    @jax.jit
+    def run(tiles, ks):
+        return member_ops.member_scan_tiles(
+            tiles, ks, width, dev.n, interpret=True
+        )
+
+    bits, count = run(dev.tiles, jnp.asarray(keys))
     _check(vals, dev, keys, bits, count)
 
 
 @pytest.mark.parametrize("width,k", [(7, 16), (9, 64), (11, 128)])
-def test_member_domain_tier_spread(width, k):
-    # spread keys past the flat-cost crossover -> domain-bitmap tier
+def test_member_domain_tier_traced(width, k):
+    # TRACED spread keys past the flat-cost crossover -> domain-bitmap
+    # tier (concrete keys now always prefer the static OR-tree)
     n = 25_000
     vals, col = _col(width, n, seed=60 + width)
     dev = layout.to_device(col)
     keys = ((np.arange(k, dtype=np.uint32) * 37 + 11) % (1 << width)).astype(
         np.uint32
     )
-    assert member_ops.member_dispatch_tier(keys, width) == "domain"
+
+    @jax.jit
+    def run(tiles, ks):
+        return member_ops.member_scan_tiles(
+            tiles, ks, width, dev.n, interpret=True
+        )
+
+    bits, count = run(dev.tiles, jnp.asarray(keys))
+    _check(vals, dev, keys, bits, count)
+
+
+@pytest.mark.parametrize("width,k", [(7, 16), (9, 8), (9, 64), (11, 128), (13, 100), (16, 40)])
+def test_member_ortree_tier_spread(width, k):
+    # concrete spread keys -> the static OR-tree tier at every k (its
+    # counted-DAG cost undercuts compare/bit-sliced/domain/window)
+    n = 25_000
+    vals, col = _col(width, n, seed=80 + width + k)
+    dev = layout.to_device(col)
+    keys = ((np.arange(k, dtype=np.uint32) * 37 + 11) % (1 << width)).astype(
+        np.uint32
+    )
+    assert member_ops.member_dispatch_tier(keys, width) == "ortree"
+    bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
+    _check(vals, dev, keys, bits, count)
+
+
+def test_member_ortree_full_domain_and_out_of_domain():
+    width, n = 8, 10_000
+    vals, col = _col(width, n, seed=91)
+    dev = layout.to_device(col)
+    # full domain (shuffled so the interval tier does not claim it):
+    # OR-tree root is None -> all-match row, tail still masked
+    keys = np.arange(1 << width, dtype=np.uint32)
+    keys = np.concatenate([keys[1::2], keys[0::2]])
+    bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
+    _check(vals, dev, keys, bits, count)
+    assert int(count) == n
+    # out-of-domain keys are dropped before the DAG build
+    keys = np.array([5, 1 << width, (1 << width) + 7, 200], np.uint32)
+    bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
+    _check(vals, dev, np.array([5, 200], np.uint32), bits, count)
+
+
+def test_member_ortree_zero_key_padding():
+    # key 0 in the set must not match zero-filled padding blocks
+    width, n = 9, 4097
+    vals, col = _col(width, n, seed=92)
+    dev = layout.to_device(col)
+    keys = np.array([0, 77, 200, 401, 13, 263, 97, 310], np.uint32)
+    assert member_ops.member_dispatch_tier(keys, width) == "ortree"
     bits, count = member_ops.member_scan_device(dev, keys, interpret=True)
     _check(vals, dev, keys, bits, count)
 
@@ -318,6 +375,7 @@ def test_sharded_member_scan_matches_single_chip():
         np.arange(10, 26, dtype=np.uint32),            # interval tier
         np.array([3, 4, 5, 6, 64, 65, 66, 67], np.uint32),  # window tier
         np.array([7, 199, 402], np.uint32),            # compare tier
+        ((np.arange(64, dtype=np.uint32) * 37 + 11) % 512),  # ortree tier
     ):
         bits_s, count_s = dist.sharded_member_scan(
             sdev, keys, mesh, interpret=True

@@ -99,10 +99,30 @@ def test_lower_general_static_k3(dev):
     export_tpu(scan_fn(dev, keys), tiles_aval(dev))
 
 
-def test_lower_bitsliced_k8(dev):
+def test_lower_bitsliced_static_k8_dispatch(dev):
+    # concrete spread k=8 dispatches to the static AND-DAG bit-sliced tier
     keys = spread_keys(8)
-    assert scan_ops._bitsliced_wins(WIDTH, 8)
+    assert scan_ops.bitsliced_static_cost(WIDTH, keys) < 4 + 12 * 8
     export_tpu(scan_fn(dev, keys), tiles_aval(dev))
+
+
+def test_lower_bitsliced_static_k100_multichunk(dev):
+    export_tpu(
+        lambda tiles: scan_ops.shared_scan_bitsliced_static_tiles(
+            tiles, spread_keys(100), WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
+
+
+def test_lower_bitsliced_static_k300_multigroup(dev):
+    # > 256 keys: multiple pallas_calls (8 chunk branches each) + concat
+    export_tpu(
+        lambda tiles: scan_ops.shared_scan_bitsliced_static_tiles(
+            tiles, spread_keys(300), WIDTH, N
+        ),
+        tiles_aval(dev),
+    )
 
 
 def test_lower_bitsliced_k100_multichunk(dev):
@@ -216,8 +236,9 @@ def member_fn(d, keys):
             ),
         ),
         ("compare", np.array([3, 100, 317], np.uint32)),
-        ("bitsliced", spread_keys(8)),
-        ("domain", spread_keys(100)),
+        ("ortree", spread_keys(8)),
+        ("ortree", spread_keys(100)),
+        ("ortree", spread_keys(300)),
     ],
 )
 def test_lower_member_tiers(dev, name, keys):
