@@ -1,12 +1,21 @@
 """Headline benchmark: 9-bit column, 8-predicate shared scan, 1 chip.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N,
+   "measured_copy_bytes_per_s": N, "vs_measured_copy": N}
 
 value     = total HBM traffic (packed column read + k bitvectors written)
             per second on one chip for the fused Pallas shared-scan kernel.
 vs_baseline = value / (0.90 * nominal HBM peak), i.e. 1.0 == the
-            BASELINE.md target ">=90% of HBM-bandwidth roofline".
+            BASELINE.md target ">=90% of HBM-bandwidth roofline" taken
+            against the 819 GB/s v5e spec sheet number.
+vs_measured_copy = value / (device copy bandwidth measured in the SAME
+            run at the same footprint) — the reference's own protocol
+            (its scans normalize against a measured memcpy,
+            benchmark_misc.cpp:36-52), and the defensible roofline: the
+            spec number is not attainable by any kernel on this part
+            (a pure device copy reaches ~725 GB/s at >= 256 MiB; see
+            bench_results/copy_roofline_v5e.csv).
 """
 import functools
 import json
@@ -85,12 +94,26 @@ def main() -> int:
         if best is None or bps > best:
             best = bps
 
+    # measured copy comparator at the same footprint (512 MiB buffer,
+    # read + write = 1 GiB traffic/iteration) — the defensible roofline
+    import time as _time
+
+    copy_buf = jnp.zeros(DATA_SIZE // 4, jnp.uint32)
+    copy_m = measure_loop(
+        harness.chain_copy, (copy_buf,), trials=4,
+        est_iter_s=2 * DATA_SIZE / 700e9,
+        salt0=int(_time.time()) % 1_000_000,
+    )
+    copy_bps = 2 * DATA_SIZE / copy_m.seconds
+
     roof = harness.hbm_peak_bytes_per_s() or 819e9
     print(json.dumps({
         "metric": "shared_scan_9bit_k8_hbm_bytes_per_s",
         "value": round(best),
         "unit": "bytes/s/chip",
         "vs_baseline": round(best / (0.9 * roof), 4),
+        "measured_copy_bytes_per_s": round(copy_bps),
+        "vs_measured_copy": round(best / copy_bps, 4),
     }))
     return 0
 

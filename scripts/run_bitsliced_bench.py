@@ -83,19 +83,35 @@ def main(argv):
         exp = np.array([(vals_np == kk).sum() for kk in keys], np.uint32)
 
         for tier, chain, fn in (
+            ("bitsliced-static", None,
+             scan_ops.shared_scan_bitsliced_static_tiles),
             ("bitsliced", harness.chain_bitsliced_shared_scan,
              scan_ops.shared_scan_bitsliced_tiles),
             ("chunked-compare", harness.chain_chunked_shared_scan,
              scan_ops.shared_scan_chunked_tiles),
         ):
             # on-device verification of THIS tier before timing it
-            _, cnt = fn(dev.tiles, keysj, WIDTH, n)
+            _, cnt = fn(
+                dev.tiles,
+                keys if tier == "bitsliced-static" else keysj,
+                WIDTH, n,
+            )
             ok = bool((np.asarray(jax.device_get(cnt)) == exp).all())
+            if tier == "bitsliced-static":
+                timed = functools.partial(
+                    harness.chain_bitsliced_static_shared_scan,
+                    width=WIDTH, n=n, tb=None,
+                    keys_tuple=tuple(int(x) for x in keys),
+                )
+                args = (dev.tiles,)
+            else:
+                timed = functools.partial(chain, width=WIDTH, n=n, tb=None)
+                args = (dev.tiles, keysj)
             m = measure_loop(
-                functools.partial(chain, width=WIDTH, n=n, tb=None),
-                (dev.tiles, keysj),
+                timed,
+                args,
                 trials=reps,
-                est_iter_s=traffic / (500e9 if tier == "bitsliced" else 150e9),
+                est_iter_s=traffic / (600e9 if "bitsliced" in tier else 150e9),
                 salt0=(abs(hash((tier, k))) + int(time.time())) % 1_000_000,
             )
             gbs = traffic / m.seconds / 1e9

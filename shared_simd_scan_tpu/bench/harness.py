@@ -252,6 +252,72 @@ def chain_windowed_shared_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
     return acc
 
 
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
+def chain_linear_shared_scan(tiles, salt, k, *, width, n, tb, kk):
+    """Linear (interleaved byte) shared-scan chain: the kernel pass plus
+    the XLA relayout to ``out[group*k + key]`` uint8 order
+    (shared_scan_linear_device).  The full output is consumed (sum) so
+    the relayout cannot be narrowed away; pair with
+    chain_linear_baseline_shared_scan (same consume over the native
+    (k, W) layout) to isolate the interleave cost."""
+    from shared_simd_scan_tpu.layout import DeviceColumn
+
+    keys0 = jnp.arange(kk, dtype=jnp.uint32)
+
+    def body(i, acc):
+        kv = keys0 + ((salt + jnp.uint32(i)) << 16)
+        dev = DeviceColumn(width=width, n=n, tiles=tiles)
+        out = scan_ops.shared_scan_linear_device(dev, kv, tb=tb)
+        return acc + jnp.sum(out.astype(jnp.uint32))
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
+def chain_linear_baseline_shared_scan(tiles, salt, k, *, width, n, tb, kk):
+    """Comparator for chain_linear_shared_scan: identical kernel pass and
+    full-output consume, but over the native (k, W) word layout — the
+    delta between the two rows is the interleave relayout."""
+    from shared_simd_scan_tpu.layout import DeviceColumn
+
+    keys0 = jnp.arange(kk, dtype=jnp.uint32)
+
+    def body(i, acc):
+        kv = keys0 + ((salt + jnp.uint32(i)) << 16)
+        dev = DeviceColumn(width=width, n=n, tiles=tiles)
+        bits, _ = scan_ops.shared_scan_device(dev, kv, tb=tb)
+        return acc + jnp.sum(bits)
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "keys_tuple")
+)
+def chain_bitsliced_static_shared_scan(
+    tiles, salt, k, *, width, n, tb, keys_tuple
+):
+    """Static AND-DAG bit-sliced chain.  The DAG is built from the
+    compile-time key tuple; distinct submissions come from salting the
+    input.  The carry sums EVERY key row's count — at k > 256 the kernel
+    runs as several pallas_calls and a cnt[0]-only carry lets XLA DCE all
+    but the first group (same lesson as chain_windowed_shared_scan)."""
+    import numpy as np
+
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        _, cnt = scan_ops.shared_scan_bitsliced_static_tiles(
+            t, keys, width, n, tb=tb
+        )
+        return t, acc + jnp.sum(cnt)
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "width", "n", "tb", "keys_tuple")
 )

@@ -58,9 +58,26 @@ MIN_WIDTH = 1
 MAX_WIDTH = 31
 
 
+# Hit counts are uint32 end-to-end (a deliberate kernel-perf choice:
+# 64-bit accumulation is not native on the VPU).  A single key can match
+# at most n rows, so capping the column at 2^32 - 1 values makes count
+# overflow impossible rather than silent.  At width 1 that is a 512 MiB
+# packed column; wider columns hit memory limits long before this cap.
+MAX_VALUES = (1 << 32) - 1
+
+
 def _check_width(width: int) -> None:
     if not (MIN_WIDTH <= int(width) <= MAX_WIDTH):
         raise ValueError(f"width must be in [{MIN_WIDTH}, {MAX_WIDTH}], got {width}")
+
+
+def _check_n(n: int) -> None:
+    if not (0 <= int(n) <= MAX_VALUES):
+        raise ValueError(
+            f"column length {n} exceeds MAX_VALUES={MAX_VALUES}: hit counts "
+            "are uint32 and a key matching >= 2^32 rows would wrap; shard "
+            "the column (parallel.dist.shard_column) instead"
+        )
 
 
 def packed_nbytes(width: int, n: int) -> int:
@@ -202,6 +219,10 @@ class PackedColumn:
     n: int
     words: jax.Array  # uint32[num_blocks(n) * width]
 
+    def __post_init__(self):
+        _check_width(self.width)
+        _check_n(self.n)
+
     @property
     def nbytes_payload(self) -> int:
         return packed_nbytes(self.width, self.n)
@@ -255,6 +276,10 @@ class DeviceColumn:
     width: int
     n: int
     tiles: jax.Array  # uint32[width, B1, LANES]
+
+    def __post_init__(self):
+        _check_width(self.width)
+        _check_n(self.n)
 
     @property
     def padded_values(self) -> int:

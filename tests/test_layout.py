@@ -100,3 +100,20 @@ def test_bad_width_rejected():
         layout.pack(TINY12, 0)
     with pytest.raises(ValueError):
         layout.pack(TINY12, 32)
+
+
+def test_count_overflow_guard():
+    # hit counts are uint32 end-to-end; columns are capped at 2^32 - 1
+    # values at construction so a key can never match 2^32 rows and wrap
+    # (the reference's POPCNT accumulation contract, simd_scan.cpp:153,
+    # has the same silent limit — here it is loud)
+    with pytest.raises(ValueError, match="MAX_VALUES"):
+        layout.PackedColumn(width=1, n=1 << 32, words=jnp.zeros(1, jnp.uint32))
+    with pytest.raises(ValueError, match="MAX_VALUES"):
+        layout.DeviceColumn(
+            width=1, n=1 << 32, tiles=jnp.zeros((1, 8, 128), jnp.uint32)
+        )
+    # the boundary value itself is allowed
+    layout.DeviceColumn(
+        width=1, n=(1 << 32) - 1, tiles=jnp.zeros((1, 8, 128), jnp.uint32)
+    )
