@@ -39,6 +39,39 @@ from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 
+def _synth_packed_sliced(n, k, width, nslices=8):
+    """synth_modk(n, k, width) packed to a DeviceColumn in B1 slices."""
+    from shared_simd_scan_tpu.layout import LANES, padded_blocks
+
+    b1 = padded_blocks(n) // LANES
+    s1 = -(-b1 // nslices)
+    s1 = max(512, -(-s1 // 512) * 512)  # keep slice B1 divisor-friendly
+    m = min(512, 1 << width)  # synth_modk's modulus
+    parts = []
+    done = 0
+    while done < b1:
+        rows = min(s1, b1 - done)
+        cnt = rows * LANES * 32
+        start = done * LANES * 32
+
+        @jax.jit
+        def make(start=start, cnt=cnt):
+            i = start + jnp.arange(cnt, dtype=jnp.uint32)
+            v = jnp.where(
+                i < jnp.uint32(n),
+                i % jnp.uint32(k) % jnp.uint32(m),
+                jnp.uint32(0),
+            )
+            return unpack_ops.pack_device_kernel(v, width).tiles
+
+        t = make()
+        assert t.shape[1] == rows, (t.shape, rows)
+        parts.append(t)
+        done += rows
+    tiles = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return layout.DeviceColumn(width=width, n=n, tiles=tiles)
+
+
 def main(argv):
     out_path, data_size, widths, k, reps = (
         "width_sweep_results.csv", "64m",
@@ -57,16 +90,23 @@ def main(argv):
             out_path = a
 
     size = _parse_size(data_size)
-    # Narrow widths explode the RAW side (width 1 at 256 MiB packed is a
+    # Narrow widths explode the RAW side (width 1 at 256 MiB packed is an
     # 8.6 GB uint32 column): cap the value count so synth + pack + unpack
-    # buffers fit HBM, and record the actual packed size per row.
-    max_values = 500_000_000
+    # buffers fit HBM, and record the actual packed size per row.  The cap
+    # sits just under 2^31 (XLA's int32 indexing boundary) — width 1 at
+    # the cap packs to 256.0 MiB, so every width can reach the HBM-bound
+    # regime (>= 256 MiB packed; below ~150 MiB on-chip caching inflates
+    # results — measured up to 3.6 TB/s on 64 MiB copies).
+    max_values = (1 << 31) - 4096
     rows = []
     for width in widths:
         n = min(harness.values_for(size, width), max_values)
-        vals = harness.synth_modk(n, k, width)
-        dev = unpack_ops.pack_device_kernel(vals, width)
-        del vals  # narrow widths: the raw column is ~4x the packed size
+        # synth + pack in B1 slices, each fused under ONE jit: evaluated
+        # eagerly the synth's arange/mod chain materializes ~3 raw copies
+        # (25 GB at the width-1 cap), and even fused, the pack path's
+        # block reshape picks a 4x-padded layout at n ~ 2^31 (32 GB —
+        # both measured OOMs).  Slices bound the raw side to ~1 GB each.
+        dev = _synth_packed_sliced(n, k, width)
         packed = layout.packed_nbytes(width, n)
 
         tr_u = packed + 4 * n
@@ -100,15 +140,22 @@ def main(argv):
         from shared_simd_scan_tpu.ops import oracle, scan as scan_ops
 
         kk_v = min(k, 1 << width)
-        vals = harness.synth_modk(n, k, width)
         bits, counts = scan_ops.interval_scan_device(dev, 0, kk_v)
-        expect = jnp.sum(
-            vals[None, :] == jnp.arange(kk_v, dtype=jnp.uint32)[:, None],
-            axis=1, dtype=jnp.uint32,
-        )
+        # fused per-key count passes: an eager synth or a (kk_v, n)
+        # broadcast would each need 8-17 GB at the width-1 cap (n ~ 2^31)
+        expect = jnp.stack([
+            jax.jit(
+                lambda j=j: jnp.sum(
+                    harness.synth_modk(n, k, width) == jnp.uint32(j),
+                    dtype=jnp.uint32,
+                )
+            )()
+            for j in range(kk_v)
+        ])
         ok = bool(jnp.all(counts == expect))
         if ok:
             n_chk = min(n, 2_000_000)
+            vals = harness.synth_modk(n_chk, k, width)  # prefix: i%k%m
             col_chk = layout.pack(vals[:n_chk], width)
             obits, _ = oracle.shared_scan_words(
                 col_chk.words, jnp.arange(kk_v, dtype=jnp.uint32), width, n_chk)
@@ -119,7 +166,7 @@ def main(argv):
                 gb = gb.at[:, -1].multiply(0).at[:, -1].add(
                     bits[:, w_chk - 1] & tail)
             ok = bool(jnp.all(gb == obits))
-        del vals
+            del vals
         rows[-1]["verified"] = "ok" if ok else "FAILED"
         print(f"w={width:2d} verify: {'ok' if ok else 'FAILED'}", flush=True)
 

@@ -301,6 +301,43 @@ def scan_device(
     return bits[0], counts[0]
 
 
+@functools.partial(jax.jit, static_argnames=("nbytes",))
+def _interleave_linear(bits: jax.Array, nbytes: int) -> jax.Array:
+    """(k, W) uint32 bitvectors -> uint8[nbytes * k] in out[group*k + key]
+    byte order.
+
+    The byte expansion + transpose is inherently TPU-layout-hostile (the
+    intermediates have tiny minor dims that pad to the (32, 128) uint8
+    tile); done in one shot XLA materialized a 30 GB padded broadcast at
+    512 MiB (measured OOM).  Chunking the relayout over the word axis
+    bounds the padded intermediates to ~a few hundred MB per chunk —
+    byte groups of chunk c land at out[c*wc*4*k:], so chunk outputs
+    concatenate contiguously."""
+    k, w = bits.shape
+    if w <= 65536:
+        shifts = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)
+        b = ((bits[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(
+            jnp.uint8
+        )
+        return b.reshape(k, -1)[:, :nbytes].T.reshape(-1)
+    wc = -(-(-(-w // 64)) // 128) * 128  # ~64 lane-aligned chunks
+    nc = -(-w // wc)
+    if nc * wc != w:
+        bits = jnp.concatenate(
+            [bits, jnp.zeros((k, nc * wc - w), jnp.uint32)], axis=1
+        )
+    shifts = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)
+
+    def chunk(b):  # (k, wc) -> (wc*4*k,) uint8
+        by = ((b[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(
+            jnp.uint8
+        )
+        return by.reshape(k, -1).T.reshape(-1)
+
+    out = jax.lax.map(chunk, bits.reshape(k, nc, wc).transpose(1, 0, 2))
+    return out.reshape(-1)[: nbytes * k]
+
+
 def shared_scan_linear_device(
     dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
 ) -> jax.Array:
@@ -314,11 +351,7 @@ def shared_scan_linear_device(
     """
     keys = jnp.asarray(keys, jnp.uint32)
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)  # (k, W)
-    k = bits.shape[0]
-    nbytes = (dev.n + 7) // 8
-    shifts = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)
-    b = ((bits[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(jnp.uint8)
-    return b.reshape(k, -1)[:, :nbytes].T.reshape(-1)
+    return _interleave_linear(bits, (dev.n + 7) // 8)
 
 
 def popcount_bits(bits: jax.Array) -> jax.Array:
