@@ -60,16 +60,22 @@ def main(argv):
     keys = np.arange(k, dtype=np.uint32)
 
     # correctness: byte parity vs the oracle interleave on a small prefix
-    d = layout.DeviceColumn(width=WIDTH, n=n, tiles=dev.tiles)
-    out = np.asarray(jax.device_get(
-        scan_ops.shared_scan_linear_device(d, keys)
-    ))
-    vhost = np.asarray(jax.device_get(vals))[: 8 * 1024]
+    # (fetch ONLY the prefix: device_get of the full 477 MB uint8 output
+    # exhausts the relay transfer path — measured)
+    vhost = np.asarray(jax.device_get(vals[: 8 * 1024]))
     exp = np.zeros(((vhost.size + 7) // 8) * k, np.uint8)
     for j, key in enumerate(keys):
         m = np.packbits(vhost == key, bitorder="little")
         exp[j::k] = m
-    ok = bool((out[: exp.size // k * k][: exp.size] == exp).all())
+    # one jit around call+slice: eager slicing a 477 MB uint8 output would
+    # compile the slice standalone and materialize every intermediate
+    prefix = jax.jit(
+        lambda t: scan_ops.shared_scan_linear_device(
+            layout.DeviceColumn(width=WIDTH, n=n, tiles=t), keys
+        )[: exp.size]
+    )(dev.tiles)
+    out = np.asarray(jax.device_get(prefix))
+    ok = bool((out == exp).all())
 
     traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
     rows = []

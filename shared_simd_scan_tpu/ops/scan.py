@@ -301,40 +301,68 @@ def scan_device(
     return bits[0], counts[0]
 
 
+def _byte_transpose_quad(x0, x1, x2, x3):
+    """4x4 byte-matrix transpose of four uint32 vectors (12 vector ops).
+
+    Input matrix M[p][s] = byte s of x_p (LSB-first); output y_s with
+    byte p of y_s = M[p][s].  Two SWAPMOVE stages — the byte analog of
+    the bit transpose in :func:`_transpose8x8_bytes`."""
+    u0, u1 = _swapmove(x0, x1, 0x00FF00FF, 8)
+    u2, u3 = _swapmove(x2, x3, 0x00FF00FF, 8)
+    y0, y2 = _swapmove(u0, u2, 0x0000FFFF, 16)
+    y1, y3 = _swapmove(u1, u3, 0x0000FFFF, 16)
+    return y0, y1, y2, y3
+
+
 @functools.partial(jax.jit, static_argnames=("nbytes",))
 def _interleave_linear(bits: jax.Array, nbytes: int) -> jax.Array:
     """(k, W) uint32 bitvectors -> uint8[nbytes * k] in out[group*k + key]
     byte order.
 
-    The byte expansion + transpose is inherently TPU-layout-hostile (the
-    intermediates have tiny minor dims that pad to the (32, 128) uint8
-    tile); done in one shot XLA materialized a 30 GB padded broadcast at
-    512 MiB (measured OOM).  Chunking the relayout over the word axis
-    bounds the padded intermediates to ~a few hundred MB per chunk —
-    byte groups of chunk c land at out[c*wc*4*k:], so chunk outputs
-    concatenate contiguously."""
+    Fast path (k % 4 == 0): stay in uint32 space.  Out *word*
+    m = t*k + s*(k/4) + h holds out bytes (group 4t+s, keys 4h..4h+3),
+    i.e. byte p of word m = byte s of bits[4h+p, t] — so the k output
+    word streams fall out of k/4 SWAPMOVE byte-transpose quads (3 vector
+    ops per output word, all elementwise) and the ONLY data movement is
+    one (W, k) uint32 interleave-stack, 4x fewer elements and a far
+    friendlier tile shape than the naive uint8 (k, nbytes) transpose
+    (measured 66x slower at 512 MiB).
+
+    The relayout is still TPU-layout-hostile (minor dim k pads to the
+    128-lane tile); done in one shot XLA materialized a 30 GB padded
+    broadcast at 512 MiB (measured OOM).  Chunking over the word axis
+    bounds the padded intermediates — byte groups of chunk c land at
+    out[c*wc*4*k:], so chunk outputs concatenate contiguously."""
     k, w = bits.shape
-    if w <= 65536:
+    if k % 4 == 0:
+        def relayout(b):  # (k, wc) uint32 -> (wc*4*k,) uint8
+            ys = [None] * k
+            for h in range(k // 4):
+                q = _byte_transpose_quad(b[4 * h], b[4 * h + 1],
+                                         b[4 * h + 2], b[4 * h + 3])
+                for s in range(4):
+                    ys[s * (k // 4) + h] = q[s]
+            return jax.lax.bitcast_convert_type(
+                jnp.stack(ys, axis=-1), jnp.uint8
+            ).reshape(-1)
+    else:
         shifts = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)
-        b = ((bits[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(
-            jnp.uint8
-        )
-        return b.reshape(k, -1)[:, :nbytes].T.reshape(-1)
+
+        def relayout(b):  # (k, wc) -> (wc*4*k,) uint8
+            by = ((b[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(
+                jnp.uint8
+            )
+            return by.reshape(k, -1).T.reshape(-1)
+
+    if w <= 65536:
+        return relayout(bits)[: nbytes * k]
     wc = -(-(-(-w // 64)) // 128) * 128  # ~64 lane-aligned chunks
     nc = -(-w // wc)
     if nc * wc != w:
         bits = jnp.concatenate(
             [bits, jnp.zeros((k, nc * wc - w), jnp.uint32)], axis=1
         )
-    shifts = jnp.uint32(8) * jnp.arange(4, dtype=jnp.uint32)
-
-    def chunk(b):  # (k, wc) -> (wc*4*k,) uint8
-        by = ((b[:, :, None] >> shifts[None, None, :]) & 0xFF).astype(
-            jnp.uint8
-        )
-        return by.reshape(k, -1).T.reshape(-1)
-
-    out = jax.lax.map(chunk, bits.reshape(k, nc, wc).transpose(1, 0, 2))
+    out = jax.lax.map(relayout, bits.reshape(k, nc, wc).transpose(1, 0, 2))
     return out.reshape(-1)[: nbytes * k]
 
 
@@ -345,9 +373,16 @@ def shared_scan_linear_device(
 
     Byte layout ``out[group*k + key_id]`` for 8-value groups — parity with
     shared_scan_128_linear_standard (simd_scan_shared_linear.cpp:57).  On
-    TPU the (k, W) layout is the native efficient one; the interleave is a
-    single XLA relayout of the kernel output (the reference needed a
-    separate kernel only because its outputs stream straight to DRAM).
+    TPU the (k, W) layout is the native efficient one; the interleave is
+    an XLA relayout of the kernel output (the reference needed a separate
+    kernel only because its outputs stream straight to DRAM).  A Pallas
+    relayout kernel was prototyped and is NOT shippable on this stack:
+    the required 16-lane -> stride-8 lane spread crashes the hardware
+    Mosaic compiler in every expressible form (strided store to a
+    non-128-minor memref, in-kernel jnp.repeat, minor-dim-merge reshape,
+    16-lane sliced strided stores) even though jax.export lowering
+    accepts some of them — see bench_results/linear_v5e_512m.csv for the
+    measured relayout cost.
     """
     keys = jnp.asarray(keys, jnp.uint32)
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)  # (k, W)

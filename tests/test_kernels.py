@@ -458,3 +458,35 @@ def test_windowed_rejects_traced_keys():
 
     with pytest.raises(TypeError, match="concrete"):
         jax.make_jaxpr(f)(jnp.arange(4, dtype=jnp.uint32))
+
+
+@pytest.mark.parametrize("k", [8, 6, 12])
+def test_shared_scan_linear_parity_k(k):
+    # k % 4 == 0 exercises the SWAPMOVE byte-transpose-quad interleave
+    # fast path; k=6 the byte-expansion fallback (oracle:
+    # simd_scan_shared_linear.cpp:57 byte order)
+    width, n = 9, 10_000
+    vals = _rand_column(width, n, seed=70 + k)
+    keys = ((np.arange(k, dtype=np.uint32) * 5 + 2) % (1 << width)).astype(
+        np.uint32
+    )
+    col = layout.pack(vals, width)
+    dev = layout.to_device(col)
+    lin = scan_ops.shared_scan_linear_device(dev, keys, interpret=True)
+    olin = oracle.shared_scan_linear(col, keys)
+    np.testing.assert_array_equal(np.asarray(lin), np.asarray(olin))
+
+
+def test_interleave_linear_fast_path_matches_fallback():
+    # the k % 4 == 0 SWAPMOVE quad formulation vs the generic byte
+    # expansion, both branches of _interleave_linear (incl. the chunked
+    # w > 65536 form at a non-chunk-aligned w)
+    rng = np.random.default_rng(3)
+    for k, w in ((4, 257), (8, 1024), (16, 77), (8, 70_000)):
+        bits = rng.integers(0, 2**32, size=(k, w), dtype=np.uint32)
+        nbytes = w * 4 - 2
+        got = np.asarray(
+            scan_ops._interleave_linear(jnp.asarray(bits), nbytes)
+        )
+        exp = bits.view(np.uint8).reshape(k, -1)[:, :nbytes].T.reshape(-1)
+        np.testing.assert_array_equal(got, exp)

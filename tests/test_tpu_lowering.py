@@ -365,3 +365,21 @@ def test_lower_unpack_pack(w):
         return unpack_ops.pack_device_kernel(flat, w).tiles
 
     export_tpu(f, tiles_aval(d))
+
+
+@pytest.mark.parametrize("k", [4, 8, 32])
+def test_lower_linear_interleave(dev, k):
+    """Full linear path (shared scan kernel + XLA SWAPMOVE relayout).
+
+    NOTE: export-lowering legality is NECESSARY but NOT SUFFICIENT on the
+    hardware stack — a strided-store Pallas interleave passed this very
+    check and was rejected by the relay's Mosaic (base memref last dim
+    must be 128).  Hardware drive (scripts/run_linear_bench.py) is the
+    authority; this test still catches the gross block-spec errors."""
+    keys = np.arange(k, dtype=np.uint32)
+
+    def f(tiles):
+        dd = layout.DeviceColumn(tiles=tiles, width=WIDTH, n=N)
+        return scan_ops.shared_scan_linear_device(dd, keys)
+
+    export_tpu(f, tiles_aval(dev))
