@@ -70,6 +70,24 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def fetch_global(x) -> np.ndarray:
+    """Host numpy view of a jax.Array that may span other processes.
+
+    Shard-local partials (sum limbs, min/max grids) keep a
+    P(DATA_AXIS, ...) sharding; on a multi-process mesh the remote shards
+    are not addressable and a plain ``np.asarray`` raises.  The partial
+    grids are tiny (steps x k x LANES), so an allgather is the right
+    tool — every process finalizes identically (collective: every
+    process must call this)."""
+    if all(
+        d.process_index == jax.process_index() for d in x.sharding.device_set
+    ):
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+
+
 def _pad_b1(tiles: jax.Array, multiple: int) -> jax.Array:
     b1 = tiles.shape[1]
     target = ((b1 + multiple - 1) // multiple) * multiple
@@ -84,11 +102,25 @@ def shard_column(dev: DeviceColumn, mesh: Mesh) -> DeviceColumn:
 
     Pads B1 to a multiple of (mesh size × SUBLANES) so every shard is a
     legal kernel operand, then applies NamedSharding (None, 'data', None).
+
+    On a multi-process mesh (``dist.initialize`` across hosts) the host
+    array cannot be device_put to non-addressable devices; every process
+    is assumed to hold the same host copy (replicated build, the demo /
+    test path — production loads per-shard from io.load_table) and only
+    the locally-addressable shards are materialized.
     """
     nd = mesh.devices.size
     tiles = _pad_b1(dev.tiles, nd * SUBLANES)
     sharding = NamedSharding(mesh, P(None, DATA_AXIS, None))
-    tiles = jax.device_put(tiles, sharding)
+    if all(
+        d.process_index == jax.process_index() for d in mesh.devices.flat
+    ):
+        tiles = jax.device_put(tiles, sharding)
+    else:
+        host = np.asarray(tiles)
+        tiles = jax.make_array_from_callback(
+            host.shape, sharding, lambda idx: host[idx]
+        )
     return DeviceColumn(width=dev.width, n=dev.n, tiles=tiles)
 
 
@@ -382,7 +414,7 @@ def sharded_aggregate_scan(
         pdev.tiles, mdev.tiles, keys, mesh=mesh, wp=pdev.width,
         wm=mdev.width, n=pdev.n, tb=tb, interpret=interpret,
     )
-    return agg_ops.finalize_sums(slo, shi), counts
+    return agg_ops.finalize_sums(fetch_global(slo), fetch_global(shi)), counts
 
 
 @functools.partial(
@@ -429,7 +461,9 @@ def sharded_minmax_scan(
         pdev.tiles, mdev.tiles, keys, mesh=mesh, wp=pdev.width,
         wm=mdev.width, n=pdev.n, tb=tb, interpret=interpret,
     )
-    mn, mx = agg_ops.finalize_minmax(mins, maxs, counts, mdev.width)
+    mn, mx = agg_ops.finalize_minmax(
+        fetch_global(mins), fetch_global(maxs), counts, mdev.width
+    )
     return mn, mx, counts
 
 
@@ -592,7 +626,10 @@ def sharded_masked_aggregate(
         mdev.tiles, bits, mesh=mesh, wm=mdev.width, n=mdev.n, tb=tb,
         interpret=interpret,
     )
-    return agg_ops.finalize_sums(slo, shi)[0], count
+    return (
+        agg_ops.finalize_sums(fetch_global(slo), fetch_global(shi))[0],
+        count,
+    )
 
 
 def sharded_conj_range_scan(

@@ -165,3 +165,31 @@ def test_sharded_dispatch_consecutive_uses_interval():
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(icounts))
     obits, ocounts = oracle.shared_scan(col, keys)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+
+
+def test_multiprocess_collectives_demo():
+    """The sharded surface across REAL process boundaries (Gloo).
+
+    Spawns 2 OS processes, each with 1 virtual CPU device, joined via
+    jax.distributed.initialize — the exact protocol a pod slice uses
+    (scripts/run_multiproc_demo.py; BASELINE.md config 5).  Subprocesses
+    get a clean env (no axon relay, no forced 8-device count)."""
+    import os
+    import pathlib
+    import subprocess
+    import sys
+
+    script = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "scripts" / "run_multiproc_demo.py"
+    )
+    env = {
+        k: v for k, v in os.environ.items()
+        if k not in ("XLA_FLAGS", "PYTHONPATH", "JAX_PLATFORMS")
+    }
+    out = subprocess.run(
+        [sys.executable, str(script), "--nproc=2", "--devs-per-proc=1"],
+        env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "multiproc demo: OK" in out.stdout
