@@ -65,7 +65,10 @@ def main(argv):
             "trials": trials,
             "median_gb_per_s": round(gbs, 1),
             "mean_gb_per_s": round(statistics.mean(per_gbs), 1),
-            "stdev_gb_per_s": round(statistics.stdev(per_gbs), 2),
+            "stdev_gb_per_s": (
+                round(statistics.stdev(per_gbs), 2)
+                if len(per_gbs) > 1 else ""
+            ),
             "min_gb_per_s": round(min(per_gbs), 1),
             "max_gb_per_s": round(max(per_gbs), 1),
             "pct_of_nominal": round(100 * gbs * 1e9 / nominal, 1) if nominal else "",

@@ -47,24 +47,24 @@ def _synth_packed_sliced(n, k, width, nslices=8):
     s1 = -(-b1 // nslices)
     s1 = max(512, -(-s1 // 512) * 512)  # keep slice B1 divisor-friendly
     m = min(512, 1 << width)  # synth_modk's modulus
+    # start is a traced operand and only cnt (the output shape) is static,
+    # so all full slices share ONE compiled program (a baked-constant
+    # closure per slice forced nslices relay compiles)
+    @functools.partial(jax.jit, static_argnames=("cnt",))
+    def make(start, cnt):
+        i = start + jnp.arange(cnt, dtype=jnp.uint32)
+        v = jnp.where(
+            i < jnp.uint32(n),
+            i % jnp.uint32(k) % jnp.uint32(m),
+            jnp.uint32(0),
+        )
+        return unpack_ops.pack_device_kernel(v, width).tiles
+
     parts = []
     done = 0
     while done < b1:
         rows = min(s1, b1 - done)
-        cnt = rows * LANES * 32
-        start = done * LANES * 32
-
-        @jax.jit
-        def make(start=start, cnt=cnt):
-            i = start + jnp.arange(cnt, dtype=jnp.uint32)
-            v = jnp.where(
-                i < jnp.uint32(n),
-                i % jnp.uint32(k) % jnp.uint32(m),
-                jnp.uint32(0),
-            )
-            return unpack_ops.pack_device_kernel(v, width).tiles
-
-        t = make()
+        t = make(jnp.uint32(done * LANES * 32), rows * LANES * 32)
         assert t.shape[1] == rows, (t.shape, rows)
         parts.append(t)
         done += rows
@@ -142,16 +142,16 @@ def main(argv):
         kk_v = min(k, 1 << width)
         bits, counts = scan_ops.interval_scan_device(dev, 0, kk_v)
         # fused per-key count passes: an eager synth or a (kk_v, n)
-        # broadcast would each need 8-17 GB at the width-1 cap (n ~ 2^31)
-        expect = jnp.stack([
-            jax.jit(
-                lambda j=j: jnp.sum(
-                    harness.synth_modk(n, k, width) == jnp.uint32(j),
-                    dtype=jnp.uint32,
-                )
-            )()
-            for j in range(kk_v)
-        ])
+        # broadcast would each need 8-17 GB at the width-1 cap (n ~ 2^31).
+        # j is a traced operand so ONE program compiles per width (a
+        # baked-constant lambda per key forced kk_v full-column compiles
+        # at 30s-5min each through the relay)
+        count_j = jax.jit(
+            lambda j: jnp.sum(
+                harness.synth_modk(n, k, width) == j, dtype=jnp.uint32
+            )
+        )
+        expect = jnp.stack([count_j(jnp.uint32(j)) for j in range(kk_v)])
         ok = bool(jnp.all(counts == expect))
         if ok:
             n_chk = min(n, 2_000_000)

@@ -75,8 +75,10 @@ def _check_n(n: int) -> None:
     if not (0 <= int(n) <= MAX_VALUES):
         raise ValueError(
             f"column length {n} exceeds MAX_VALUES={MAX_VALUES}: hit counts "
-            "are uint32 and a key matching >= 2^32 rows would wrap; shard "
-            "the column (parallel.dist.shard_column) instead"
+            "are uint32 and a key matching >= 2^32 rows would wrap; split "
+            "the data into per-shard columns below the limit (e.g. one "
+            "io.load_table column per host/device) and combine counts "
+            "downstream"
         )
 
 

@@ -55,6 +55,7 @@ from shared_simd_scan_tpu.ops.scan import (
     _member_or_tree,
     _onehot32,
     _pick_tb,
+    _static_dag_liveness,
     _static_dag_ops,
     _store_rows_tail_masked,
     _transpose_bitplanes,
@@ -276,29 +277,38 @@ def _member_ortree_kernel(
 )
 def _member_ortree_tiles(tiles, width, n, tb, interpret, patterns, block_offset):
     dummy = jnp.zeros((1, 1), jnp.uint32)
-    ops = _static_dag_ops(width, patterns, member=True)
+    live = _static_dag_liveness(width, patterns, member=True)
     bits, cnt = _member_call(
         lambda tbv: functools.partial(
             _member_ortree_kernel, width=width, tb=tbv, n=n, patterns=patterns
         ),
         dummy, 1, tiles, width, n, tb, interpret, block_offset,
-        extra_rows=width + 32 + min(64, ops // 8),
+        extra_rows=width + 32 + live,
     )
     return bits[0], jnp.sum(cnt.astype(jnp.uint32))
 
 
-# DAG-size cap for the OR-tree tier: bounds kernel-body size (compile
-# time + VMEM spill pressure); sets past it fall through to the flat-cost
-# domain bitmap / chunked tiers by the dispatch rule.
+# DAG caps for the OR-tree tier; sets past them fall through to the
+# flat-cost domain bitmap / chunked tiers by the dispatch rule.
+# _ORTREE_MAX_OPS bounds kernel-body size (compile time);
+# _ORTREE_MAX_LIVE bounds MEASURED peak register liveness (the memoized
+# combo vectors stay live across the whole OR accumulation — a flat
+# ops//8 proxy under-counted it, e.g. 169 live vecs at width 31, k=100)
+# so the VMEM tile budget never collapses below a useful tb.
 _ORTREE_MAX_OPS = 4096
+_ORTREE_MAX_LIVE = 256
 
 
 def member_ortree_cost(width: int, arr) -> int:
     """Static cost (quarter-ops-per-value) of the OR-tree member kernel
     for THIS key set: fixed unpack + pruned transpose (~40) plus the
-    exact counted AND/OR/NOT ops of the factored DAG."""
-    ops = _static_dag_ops(width, np.asarray(arr, np.uint32).tolist(), member=True)
+    exact counted AND/OR/NOT ops of the factored DAG.  Sets whose DAG
+    exceeds the ops or liveness caps are priced out (1 << 30)."""
+    pats = np.asarray(arr, np.uint32).tolist()
+    ops = _static_dag_ops(width, pats, member=True)
     if ops > _ORTREE_MAX_OPS:
+        return 1 << 30
+    if _static_dag_liveness(width, pats, member=True) > _ORTREE_MAX_LIVE:
         return 1 << 30
     return 40 + -(-ops // 8)
 

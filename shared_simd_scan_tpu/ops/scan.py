@@ -234,6 +234,31 @@ def _bitsliced_wins(width: int, k: int) -> bool:
     return bitsliced_cost(width, k) < 4 + 12 * k
 
 
+def pick_concrete_tier(width: int, keys) -> tuple[str, int | None]:
+    """THE single home of the concrete-key shared-scan dispatch rule —
+    both the single-chip dispatcher (:func:`shared_scan_device`) and the
+    sharded one (parallel.dist.sharded_shared_scan) call this, so
+    retuning the cost constants cannot desynchronize them (same
+    convention as member.member_dispatch_tier).
+
+    Returns (tier, lo): tier in {"interval", "windowed",
+    "bitsliced_static", "compare"}; lo is the interval base (None
+    otherwise).  ``keys`` must be concrete."""
+    keys = np.asarray(keys, dtype=np.uint32)
+    k = int(keys.shape[0])
+    lo = _consecutive_lo(keys)
+    if lo is not None:
+        return "interval", lo
+    cost_cmp = 4 + 12 * k
+    cost_dag = bitsliced_static_cost(width, keys)
+    cost_win = windowed_cost(keys) if k >= 2 else 1 << 30
+    if cost_win < min(cost_cmp, cost_dag):
+        return "windowed", None
+    if cost_dag < cost_cmp:
+        return "bitsliced_static", None
+    return "compare", None
+
+
 def shared_scan_device(
     dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
 ) -> tuple[jax.Array, jax.Array]:
@@ -259,25 +284,20 @@ def shared_scan_device(
     if not traced:
         keys = np.asarray(keys, dtype=np.uint32)
     k = int(keys.shape[0])
-    lo = _consecutive_lo(keys)
-    if lo is not None:
-        bits, counts = interval_scan_tiles(
-            dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret,
-        )
-    elif not traced:
-        cost_cmp = 4 + 12 * k
-        cost_dag = bitsliced_static_cost(dev.width, keys)
-        cost_win = windowed_cost(keys) if k >= 2 else 1 << 30
-        if cost_win < min(cost_cmp, cost_dag):
-            bits, counts = windowed_scan_tiles(
-                dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
-            )
-        elif cost_dag < cost_cmp:
-            bits, counts = shared_scan_bitsliced_static_tiles(
-                dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+    if not traced:
+        tier, lo = pick_concrete_tier(dev.width, keys)
+        fn = {
+            "windowed": windowed_scan_tiles,
+            "bitsliced_static": shared_scan_bitsliced_static_tiles,
+            "compare": shared_scan_tiles,
+        }
+        if tier == "interval":
+            bits, counts = interval_scan_tiles(
+                dev.tiles, lo, k, dev.width, dev.n, tb=tb,
+                interpret=interpret,
             )
         else:
-            bits, counts = shared_scan_tiles(
+            bits, counts = fn[tier](
                 dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
             )
     elif _bitsliced_wins(dev.width, k):
@@ -399,6 +419,7 @@ __all__ = [
     "shared_scan_chunked_tiles",
     "shared_scan_bitsliced_tiles",
     "windowed_scan_tiles",
+    "pick_concrete_tier",
     "shared_scan_device",
     "scan_device",
     "shared_scan_linear_device",
@@ -1549,21 +1570,128 @@ def _static_dag_ops(width: int, keys, member: bool = False) -> int:
     return ctr[0]
 
 
+class _LiveVec:
+    """Stand-in DAG operand that records creation/last-use timestamps, so
+    the VMEM budget can be sized from the DAG's MEASURED peak register
+    liveness instead of a flat guess (memoized combo vectors stay live
+    from first computation to last reuse — for big factored DAGs that is
+    far more than the op count / 8)."""
+
+    __slots__ = ("env", "id")
+
+    def __init__(self, env):
+        self.env = env
+        self.id = env.create()
+
+    def _op(self, other=None):
+        self.env.use(self.id)
+        if isinstance(other, _LiveVec):
+            self.env.use(other.id)
+        return _LiveVec(self.env)
+
+    __and__ = _op
+    __or__ = _op
+
+    def __invert__(self):
+        return self._op()
+
+
+class _LiveEnv:
+    __slots__ = ("t", "born", "last")
+
+    def __init__(self):
+        self.t = 0
+        self.born: list[int] = []
+        self.last: list[int] = []
+
+    def create(self) -> int:
+        self.t += 1
+        self.born.append(self.t)
+        self.last.append(self.t)
+        return len(self.born) - 1
+
+    def use(self, i: int) -> None:
+        self.t += 1
+        self.last[i] = self.t
+
+    def peak(self) -> int:
+        events = sorted(
+            [(b, 1) for b in self.born] + [(e + 1, -1) for e in self.last]
+        )
+        cur = peak = 0
+        for _, d in events:
+            cur += d
+            peak = max(peak, cur)
+        return peak
+
+
+def _static_dag_liveness(width: int, keys, member: bool = False) -> int:
+    """Peak simultaneously-live vectors of the match DAG (planes included
+    — they are read throughout), in (tb, 128) vreg units."""
+    env = _LiveEnv()
+    planes = [_LiveVec(env) for _ in range(width)]
+    memo: dict = {}
+    dom = 1 << width
+    in_dom = [int(k) for k in keys if int(k) < dom]
+    if member:
+        if in_dom:
+            _member_or_tree(planes, 0, width, in_dom, memo)
+    else:
+        for key in in_dom:
+            _combo(planes, 0, width, key, memo)
+    # planes live until their own last use; keep them counted to the end
+    # (the kernel also holds them in scratch across chunks)
+    for p in planes:
+        env.use(p.id)
+    return env.peak()
+
+
 # Fixed cost of the bit-sliced tiers in quarter-ops-per-value units:
 # unpack (~80 ops/32 values) + pruned transpose (196 at width 9) + plane
 # handling, /8 to convert ops-per-32-values to quarter-ops-per-value.
 _BITSLICED_FIXED = 40
 
 
+def _static_group_sizes(k: int) -> list[int]:
+    """Per-pallas_call key-group sizes for the static bit-sliced tier.
+
+    Invariant: every group g chunks into <= 8 kernel branches under
+    _interval_krows (Mosaic collapses past 8 predicated branches —
+    measured 55 vs 575 GB/s on the windowed kernel).  A flat group of
+    8*32 keys violated this for k where _interval_krows falls back to
+    8/16 rows (e.g. k=100 -> 13 branches); groups are now sized so the
+    impl's own chunking stays within the cap:
+      - 256 while enough keys remain (krows 32 -> 8 chunks),
+      - any remainder that is a multiple of 32, <= 64, or a multiple of
+        16 up to 128 (all <= 8 chunks),
+      - otherwise the largest multiple of 32 below the remainder (the
+        sub-32 tail lands in the next, single-chunk group)."""
+    sizes = []
+    rem = k
+    while rem > 0:
+        if rem >= 256:
+            g = 256
+        elif rem % 32 == 0 or rem <= 64 or (rem % 16 == 0 and rem <= 128):
+            g = rem
+        else:
+            g = 32 * (rem // 32)
+        sizes.append(g)
+        rem -= g
+    return sizes
+
+
 def bitsliced_static_cost(width: int, keys) -> int:
     """Static cost (quarter-ops-per-value) of the concrete-key bit-sliced
     kernel for THIS key set: fixed unpack+transpose plus the exact counted
-    AND/NOT ops of the shared match DAG, summed over its key chunks."""
+    AND/NOT ops of the shared match DAG, summed over its key chunks
+    (grouped exactly as the impl groups them — _static_group_sizes)."""
     arr = np.asarray(keys, dtype=np.uint32)
     k = int(arr.shape[0])
     ops = 0
-    for g0 in range(0, k, 8 * 32):  # the impl's per-call key groups
-        sub = arr[g0 : g0 + 8 * 32]
+    g0 = 0
+    for g in _static_group_sizes(k):
+        sub = arr[g0 : g0 + g]
+        g0 += g
         ks = int(sub.shape[0])
         krows = _interval_krows(ks) if ks > 32 else min(ks, 32)
         ops += sum(
@@ -1639,9 +1767,11 @@ def _bitsliced_static_tiles_impl(
     )
     kpad = nchunks * krows
     # planes scratch (width) + rows (krows) + double-buffered in/out blocks
-    # + transpose transients (~32) + DAG intermediates (bounded by the
-    # biggest chunk's memo, capped here at 64 for the VMEM budget)
-    per_tb = 512 * (2 * width + 2 * krows + width + 32 + 64)
+    # + transpose transients (~32) + DAG intermediates (MEASURED peak
+    # liveness of the biggest chunk's memoized DAG — a flat 64 guess
+    # under-budgeted wide widths ~2.6x, e.g. 134 live vecs at w=31 k=32)
+    live = max(_static_dag_liveness(width, chunk) for chunk in chunks)
+    per_tb = 512 * (2 * width + 2 * krows + width + 32 + live)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
     tb = _pick_tb(b1, tb if tb is not None else tb_auto)
     grid = (b1 // tb,) if nchunks == 1 else (b1 // tb, nchunks)
@@ -1706,10 +1836,11 @@ def shared_scan_bitsliced_static_tiles(
     k = int(arr.shape[0])
     if k < 1:
         raise ValueError(f"shared scan needs at least one key, got {k}")
-    group = 8 * 32  # <= 8 chunk branches per pallas_call
     parts = []
-    for g0 in range(0, k, group):
-        sub = tuple(int(v) for v in arr[g0 : g0 + group])
+    g0 = 0
+    for g in _static_group_sizes(k):  # <= 8 chunk branches per call
+        sub = tuple(int(v) for v in arr[g0 : g0 + g])
+        g0 += g
         parts.append(
             _bitsliced_static_tiles_impl(
                 tiles, sub, width, n, tb, interpret, block_offset

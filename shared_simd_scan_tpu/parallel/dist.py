@@ -232,22 +232,20 @@ def sharded_shared_scan(
     if not isinstance(keys, jax.core.Tracer):
         keys = np.asarray(keys, dtype=np.uint32)
         k = int(keys.shape[0])
-        lo = scan_ops._consecutive_lo(keys)
-        if lo is not None:
+        # single home of the cost rule: scan_ops.pick_concrete_tier
+        tier, lo = scan_ops.pick_concrete_tier(dev.width, keys)
+        if tier == "interval":
             return _sharded_interval_scan_tiles(
                 dev.tiles, jnp.uint32(lo), mesh=mesh, k=k, width=dev.width,
                 n=dev.n, tb=tb, interpret=interpret,
             )
-        cost_cmp = 4 + 12 * k
-        cost_dag = scan_ops.bitsliced_static_cost(dev.width, keys)
-        cost_win = scan_ops.windowed_cost(keys) if k >= 2 else 1 << 30
-        if cost_win < min(cost_cmp, cost_dag):
+        if tier == "windowed":
             return _sharded_windowed_scan_tiles(
                 dev.tiles, mesh=mesh,
                 keys_tuple=tuple(int(x) for x in np.asarray(keys)),
                 width=dev.width, n=dev.n, tb=tb, interpret=interpret,
             )
-        if cost_dag < cost_cmp:
+        if tier == "bitsliced_static":
             return _sharded_bitsliced_static_scan_tiles(
                 dev.tiles, mesh=mesh,
                 keys_tuple=tuple(int(x) for x in np.asarray(keys)),

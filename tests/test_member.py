@@ -386,3 +386,28 @@ def test_sharded_member_scan_matches_single_chip():
         assert flat.tobytes()[: (n + 7) // 8] == np.packbits(
             expect, bitorder="little"
         ).tobytes()
+
+
+def test_ortree_liveness_cap_prices_out_big_dags():
+    # a wide-domain spread set whose factored DAG keeps > _ORTREE_MAX_LIVE
+    # vectors live must be priced out of the OR-tree tier (VMEM budget),
+    # landing on a flat-cost tier instead — and still verify
+    width = 31
+    rng = np.random.default_rng(5)
+    keys = np.array(
+        sorted(set(int(v) for v in rng.integers(0, 1 << width, size=300,
+                                                 dtype=np.uint32))),
+        dtype=np.uint32,
+    )
+    from shared_simd_scan_tpu.ops.scan import _static_dag_liveness
+    assert _static_dag_liveness(width, keys.tolist(), member=True) \
+        > member_ops._ORTREE_MAX_LIVE
+    assert member_ops.member_ortree_cost(width, keys) == 1 << 30
+    assert member_ops.member_dispatch_tier(keys, width) != "ortree"
+
+    n = 20_000
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    vals[:50] = keys[:50]  # guarantee hits
+    dev = layout.pack_device(vals, width)
+    _, count = member_ops.member_scan_device(dev, keys, interpret=True)
+    assert int(count) == int(np.isin(vals, keys).sum())
