@@ -29,6 +29,8 @@ import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 
 from shared_simd_scan_tpu import layout  # noqa: E402
+from shared_simd_scan_tpu.ops import aggregate as agg_ops  # noqa: E402
+from shared_simd_scan_tpu.ops import member as member_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import scan as scan_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 from shared_simd_scan_tpu.utils.costmodel import count_vector_ops  # noqa: E402
@@ -91,6 +93,42 @@ def configs(width: int, ks: list[int]):
                    lambda lows=lows, highs=highs: count_vector_ops(
                        lambda x, lo, hi: scan_ops.range_scan_tiles(
                            x, lo, hi, width, n), t, lows, highs))
+
+        # round-3 concrete-key tiers: priced by the SAME counted-DAG
+        # dispatch models the library dispatches with (quarter-ops/value)
+        spread = np.sort(np.unique(
+            (np.arange(k, dtype=np.uint64) * 2654435761 % (1 << width))
+            .astype(np.uint32)
+        ))
+        yield (f"shared scan k={k} (static AND-DAG spread)", io, 1,
+               lambda spread=spread: {
+                   "per_value": scan_ops.bitsliced_static_cost(
+                       width, spread) / 4.0})
+        yield (f"member IN-list k={k} (OR-tree spread)",
+               width / 8 + 1 / 8.0, 1,
+               lambda spread=spread: {
+                   "per_value": member_ops.member_ortree_cost(
+                       width, spread) / 4.0})
+
+        # fused GROUP-BY aggregates (predicate width x 16-bit measure)
+        if k <= 32:
+            mt = _tiny_tiles(16)
+            yield (f"aggregate SUM/COUNT k={k} (wm=16)",
+                   width / 8 + 2.0, 1,
+                   lambda keys=keys, mt=mt: count_vector_ops(
+                       lambda p, m, kk: agg_ops.aggregate_scan_tiles(
+                           p, m, kk, width, 16, n), t, mt, keys))
+            yield (f"minmax MIN/MAX k={k} (wm=16)",
+                   width / 8 + 2.0, 1,
+                   lambda keys=keys, mt=mt: count_vector_ops(
+                       lambda p, m, kk: agg_ops.minmax_scan_tiles(
+                           p, m, kk, width, 16, n), t, mt, keys))
+    mt = _tiny_tiles(16)
+    bits = jnp.zeros((t.shape[1], 128), jnp.uint32)
+    yield ("masked aggregate (wm=16, any bitvector)", 2.0 + 1 / 8.0, 1,
+           lambda mt=mt, bits=bits: count_vector_ops(
+               lambda m, b: agg_ops.masked_aggregate_tiles(
+                   m, b, 16, n), mt, bits))
 
 
 def main(argv: list[str]) -> int:
