@@ -91,11 +91,15 @@ def main(argv):
              scan_ops.shared_scan_chunked_tiles),
         ):
             # on-device verification of THIS tier before timing it
-            _, cnt = fn(
-                dev.tiles,
-                keys if tier == "bitsliced-static" else keysj,
-                WIDTH, n,
-            )
+            # jit the verify and keep only counts: the multi-group static
+            # tier (k > 256) concatenates its bits parts, and EAGER
+            # execution through the relay materializes both the parts and
+            # the concat (~2x the bitvector footprint -> OOM at k=300;
+            # measured).  Under jit the concat is DCE'd.
+            kv = keys if tier == "bitsliced-static" else keysj
+            cnt = jax.jit(
+                lambda t, fn=fn, kv=kv: fn(t, kv, WIDTH, n)[1]
+            )(dev.tiles)
             ok = bool((np.asarray(jax.device_get(cnt)) == exp).all())
             if tier == "bitsliced-static":
                 timed = functools.partial(

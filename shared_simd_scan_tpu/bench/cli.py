@@ -7,9 +7,10 @@ Usage (mirrors the reference's positional convention, ``_`` = default):
     data_size    packed payload bytes (suffixes k/m/g), default 500m
     repetitions  timing trials, default 5
     bench        memory | decompression | scan | sharedscan | pack |
-                 member | conj | aggregate | histogram | scaling | all
-    args         sharedscan/member/aggregate/scaling: predicate count k
-                 (default 8); conj: column count m (default 2)
+                 linear | member | conj | aggregate | histogram |
+                 scaling | all
+    args         sharedscan/linear/member/aggregate/scaling: predicate
+                 count k (default 8); conj: column count m (default 2)
                  histogram: key count k (default: full domain, <= 4096)
 
 With no arguments the full default suite runs, with sharedscan at
@@ -101,6 +102,9 @@ def main(argv: list[str] | None = None) -> int:
         harness.bench_shared_scan(data_size, reps, k, width)
     elif bench == "pack":
         harness.bench_pack(data_size, reps, width)
+    elif bench == "linear":
+        k = int(bench_args[0]) if bench_args else 8
+        harness.bench_linear(data_size, reps, k, width)
     elif bench == "member":
         k = int(bench_args[0]) if bench_args else 8
         harness.bench_member(data_size, reps, k, width)

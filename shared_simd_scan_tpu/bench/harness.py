@@ -776,6 +776,70 @@ def bench_shared_scan(
     )
 
 
+def check_linear_scan(dev: layout.DeviceColumn, k: int) -> bool:
+    """Byte parity of the linear (interleaved) output vs numpy packbits
+    on an 8K-value prefix.  The call + prefix slice run under ONE jit:
+    eager slicing would compile the slice standalone and a full-output
+    host fetch exhausts the relay transfer path (both measured at
+    512 MiB)."""
+    keys = np.arange(k, dtype=np.uint32)
+    nv = min(dev.n, 8 * 1024)
+    vhost = np.asarray(jax.device_get(unpack_ops.unpack_device(dev)[:nv]))
+    exp = np.zeros(((nv + 7) // 8) * k, np.uint8)
+    for j, key in enumerate(keys):
+        m = np.packbits(vhost == key, bitorder="little")
+        exp[j::k] = m
+    n = dev.n
+    width = dev.width
+    prefix = jax.jit(
+        lambda t: scan_ops.shared_scan_linear_device(
+            layout.DeviceColumn(width=width, n=n, tiles=t), keys
+        )[: exp.size]
+    )(dev.tiles)
+    return bool((np.asarray(jax.device_get(prefix)) == exp).all())
+
+
+def bench_linear(
+    data_size: int = DEFAULT_DATA_SIZE // 8,
+    reps: int = DEFAULT_REPETITIONS,
+    k: int = 8,
+    width: int = DEFAULT_WIDTH,
+):
+    """Linear (interleaved byte) shared-scan driver (C10 parity surface,
+    simd_scan_shared_linear.cpp:9-82): the kernel pass plus the XLA
+    relayout to ``out[group*k + key]`` byte order, against a comparator
+    running the SAME kernel and full-output consume over the native
+    (k, W) layout — the delta is the interleave relayout, an
+    export-format cost on TPU (the lane-spread permutation it needs is
+    not expressible in Mosaic; see DESIGN §4)."""
+    n = values_for(data_size, width)
+    vals = synth_modk(n, k, width)
+    dev = unpack_ops.pack_device_kernel(vals, width)
+    roof = hbm_peak_bytes_per_s()
+    traffic = packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
+    variants = [
+        (
+            f"pallas linear shared scan k={k} (interleaved bytes)",
+            chain_linear_shared_scan,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, kk=k),
+            traffic,
+            dict(est_iter_s=traffic / 6e9),
+        ),
+        (
+            f"native (k, W) comparator k={k} (same kernel + consume)",
+            chain_linear_baseline_shared_scan,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, kk=k),
+            traffic,
+            dict(est_iter_s=traffic / 300e9),
+        ),
+    ]
+    return _bench_variants(
+        variants, roof, verify=lambda: check_linear_scan(dev, k), reps=reps
+    )
+
+
 def bench_aggregate(
     data_size: int = DEFAULT_DATA_SIZE // 8,
     reps: int = DEFAULT_REPETITIONS,

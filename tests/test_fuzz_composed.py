@@ -39,6 +39,11 @@ KEY_POOLS = {
     ]
     for w in WIDTHS
 }
+# one big spread set at the wide width: reaches the multi-chunk member /
+# static-DAG grouping paths through the planner
+KEY_POOLS[9].append(
+    tuple(sorted({int(x) for x in (np.arange(40) * 53 + 7) % (1 << 9)}))
+)
 
 
 def _make_columns(rng, nullable_mask=False):
