@@ -1652,29 +1652,43 @@ def _static_dag_liveness(width: int, keys, member: bool = False) -> int:
 _BITSLICED_FIXED = 40
 
 
+def _static_krows(k: int) -> int:
+    """Keys per chunk step for the static AND-DAG tier (NOT the interval
+    kernel's rule — the tiers bind differently).
+
+    k <= 32: one exact chunk.  33..48: one padded chunk (multiple of 8)
+    — the single-chunk fast path keeps planes in registers.  Beyond 48:
+    ALWAYS 32.  Measured (512 MiB, w=9, k~50): 32-row chunks run
+    540 GB/s vs 480 for _interval_krows' 8-row fallback — the bigger
+    chunk's DAG sharing (163 vs 280 counted ops at k=50) and 4x fewer
+    chunk steps beat the zero-pad rows the last chunk may write."""
+    if k <= 32:
+        return k
+    if k <= 48:
+        return ((k + 7) // 8) * 8
+    return 32
+
+
 def _static_group_sizes(k: int) -> list[int]:
     """Per-pallas_call key-group sizes for the static bit-sliced tier.
 
     Invariant: every group g chunks into <= 8 kernel branches under
-    _interval_krows (Mosaic collapses past 8 predicated branches —
-    measured 55 vs 575 GB/s on the windowed kernel).  A flat group of
-    8*32 keys violated this for k where _interval_krows falls back to
-    8/16 rows (e.g. k=100 -> 13 branches); groups are now sized so the
-    impl's own chunking stays within the cap:
-      - 256 while enough keys remain (krows 32 -> 8 chunks),
-      - any remainder that is a multiple of 32, <= 64, or a multiple of
-        16 up to 128 (all <= 8 chunks),
-      - otherwise the largest multiple of 32 below the remainder (the
-        sub-32 tail lands in the next, single-chunk group)."""
+    _static_krows (Mosaic collapses past 8 predicated branches —
+    measured 55 vs 575 GB/s on the windowed kernel); with krows pinned
+    to 32 past k=48 that means groups of <= 256.  Groups prefer exact
+    multiples of 32 (no zero-pad output rows); the sub-49 tail gets its
+    own single-chunk call — an extra pass over the packed column, which
+    costs less than padding a 32-row chunk with zero rows at large
+    column sizes."""
     sizes = []
     rem = k
     while rem > 0:
         if rem >= 256:
             g = 256
-        elif rem % 32 == 0 or rem <= 64 or (rem % 16 == 0 and rem <= 128):
-            g = rem
-        else:
+        elif rem > 48 and rem % 32:
             g = 32 * (rem // 32)
+        else:
+            g = rem
         sizes.append(g)
         rem -= g
     return sizes
@@ -1693,7 +1707,7 @@ def bitsliced_static_cost(width: int, keys) -> int:
         sub = arr[g0 : g0 + g]
         g0 += g
         ks = int(sub.shape[0])
-        krows = _interval_krows(ks) if ks > 32 else min(ks, 32)
+        krows = _static_krows(ks)
         ops += sum(
             _static_dag_ops(width, sub[c0 : c0 + krows].tolist())
             for c0 in range(0, ks, krows)
@@ -1760,7 +1774,7 @@ def _bitsliced_static_tiles_impl(
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     k = len(keys)
-    krows = _interval_krows(k) if k > 32 else min(k, 32)
+    krows = _static_krows(k)
     nchunks = -(-k // krows)
     chunks = tuple(
         tuple(keys[c0 : c0 + krows]) for c0 in range(0, k, krows)

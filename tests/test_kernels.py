@@ -494,12 +494,16 @@ def test_interleave_linear_fast_path_matches_fallback():
 
 def test_static_group_sizes_branch_cap():
     # every per-pallas_call key group must chunk into <= 8 predicated
-    # branches under _interval_krows (Mosaic collapses past 8 — measured
+    # branches under _static_krows (Mosaic collapses past 8 — measured
     # 55 vs 575 GB/s).  Regression: a flat 8*32 group gave k=100 thirteen
-    # branches.
+    # branches.  Groups past the first must also be exact (no zero-pad
+    # rows except possibly in the final group).
     for k in range(1, 2049):
         sizes = scan_ops._static_group_sizes(k)
         assert sum(sizes) == k
         for g in sizes:
-            krows = scan_ops._interval_krows(g) if g > 32 else min(g, 32)
+            krows = scan_ops._static_krows(g)
             assert -(-g // krows) <= 8, (k, g)
+        for g in sizes[:-1]:
+            krows = scan_ops._static_krows(g)
+            assert g % krows == 0, (k, g)  # only the tail may pad
