@@ -374,6 +374,19 @@ def chain_histogram(tiles, salt, k, *, width, n, tb, kk):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
+def chain_histogram_dag(tiles, salt, k, *, width, n, tb, kk):
+    """Shared-AND-DAG histogram chain (the concrete-lo dispatch path)."""
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        counts = scan_ops.histogram_dag_tiles(t, 0, kk, width, n, tb=tb)
+        return t, acc + jnp.sum(counts)
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_interval_scan(tiles, salt, k, *, width, n, tb, kk):
     def body(i, acc):
         lo = (salt + jnp.uint32(i)) & jnp.uint32((1 << width) - 1)
@@ -915,9 +928,19 @@ def bench_histogram(
     traffic = packed_nbytes(width, n) + scan_ops.histogram_partials_nbytes(
         b1, width, k
     )
+    dag_traffic = (
+        packed_nbytes(width, n) * len(scan_ops._static_group_sizes(k))
+        + scan_ops.histogram_dag_partials_nbytes(b1, width, k)
+    )
     res = _bench_variants(
         [(
-            f"pallas histogram k={k}",
+            f"pallas histogram k={k} (shared AND-DAG, dispatch path)",
+            chain_histogram_dag,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, kk=k),
+            dag_traffic,
+        ), (
+            f"pallas histogram k={k} (mask-window kernel, traced-lo tier)",
             chain_histogram,
             (dev.tiles,),
             dict(width=width, n=n, tb=None, kk=k),

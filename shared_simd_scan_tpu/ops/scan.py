@@ -424,6 +424,7 @@ __all__ = [
     "scan_device",
     "shared_scan_linear_device",
     "histogram_tiles",
+    "histogram_dag_tiles",
     "histogram_device",
     "bits_to_canonical",
     "popcount_bits",
@@ -896,6 +897,31 @@ def histogram_partials_nbytes(
     return (b1 // tb) * kpad * LANES * 4
 
 
+def histogram_dag_partials_nbytes(
+    b1: int, width: int, k: int, tb: int | None = None, lo: int = 0
+) -> int:
+    """Partials bytes for :func:`histogram_dag_tiles` (sums the per-group
+    pallas_calls; mirrors _histogram_dag_tiles_impl's tb/kpad choice)."""
+    total = 0
+    g0 = 0
+    for g in _static_group_sizes(k):
+        krows = _static_krows(g)
+        nchunks = -(-g // krows)
+        kpad = nchunks * krows
+        live = max(
+            _static_dag_liveness(
+                width, tuple(range(lo + g0 + c0, lo + g0 + min(c0 + krows, g)))
+            )
+            for c0 in range(0, g, krows)
+        )
+        g0 += g
+        per_tb = 512 * (2 * width + krows + width + 32 + live)
+        tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+        tbg = _pick_tb(b1, tb if tb is not None else tb_auto)
+        total += (b1 // tbg) * kpad * LANES * 4
+    return total
+
+
 @functools.partial(
     jax.jit, static_argnames=("width", "n", "k", "tb", "interpret", "gateless")
 )
@@ -968,16 +994,153 @@ def histogram_tiles(
     )
 
 
+def _histogram_dag_kernel(
+    off_ref, in_ref, cnt_ref, *scratch_refs, width, tb, n, krows, chunks
+):
+    """Counts-only static AND-DAG kernel: grid (i[, c]) -> per-chunk
+    popcount partials (1, krows, LANES).  Same DAG structure as
+    _shared_scan_bitsliced_static_kernel, no bits output."""
+    i = pl.program_id(0)
+    dom = 1 << width
+    zero = jnp.zeros((tb, LANES), jnp.uint32)
+
+    def _rows(chunk, planes):
+        memo: dict = {}
+        rows = [
+            _combo(planes, 0, width, int(key), memo) if int(key) < dom else zero
+            for key in chunk
+        ]
+        rows += [zero] * (krows - len(rows))
+        return rows
+
+    if len(chunks) == 1:
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        planes = _transpose_bitplanes(vs, width)
+        _count_rows_tail_masked(
+            off_ref, i, tb, n, _rows(chunks[0], planes), cnt_ref
+        )
+        return
+
+    scratch = scratch_refs[0]
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _fill():
+        vs = [v for _, v in _unpack_block_values(in_ref, width)]
+        ps = _transpose_bitplanes(vs, width)
+        for p in range(width):
+            scratch[p] = ps[p]
+
+    for idx, chunk in enumerate(chunks):
+
+        @pl.when(c == idx)
+        def _body(chunk=chunk):
+            planes = [scratch[p] for p in range(width)]
+            _count_rows_tail_masked(
+                off_ref, i, tb, n, _rows(chunk, planes), cnt_ref
+            )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("keys", "width", "n", "tb", "interpret")
+)
+def _histogram_dag_tiles_impl(
+    tiles, keys: tuple, width, n, tb, interpret, block_offset
+):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = len(keys)
+    krows = _static_krows(k)
+    nchunks = -(-k // krows)
+    chunks = tuple(
+        tuple(keys[c0 : c0 + krows]) for c0 in range(0, k, krows)
+    )
+    kpad = nchunks * krows
+    live = max(_static_dag_liveness(width, chunk) for chunk in chunks)
+    per_tb = 512 * (2 * width + krows + width + 32 + live)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    grid = (b1 // tb,) if nchunks == 1 else (b1 // tb, nchunks)
+    ix = (lambda i: (0, 0)) if nchunks == 1 else (lambda i, c: (0, 0))
+    tile_ix = (
+        (lambda i: (0, i, 0)) if nchunks == 1 else (lambda i, c: (0, i, 0))
+    )
+    cnt_ix = (
+        (lambda i: (i, 0, 0)) if nchunks == 1 else (lambda i, c: (i, c, 0))
+    )
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    cnt = pl.pallas_call(
+        functools.partial(
+            _histogram_dag_kernel,
+            width=width, tb=tb, n=n, krows=krows, chunks=chunks,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b1 // tb, kpad, LANES), jnp.int32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), ix, memory_space=pltpu.SMEM),
+            pl.BlockSpec((width, tb, LANES), tile_ix, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, krows, LANES), cnt_ix, memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((width, tb, LANES), jnp.uint32)] if nchunks > 1 else []
+        ),
+        interpret=interpret,
+    )(off, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return counts[:k]
+
+
+def histogram_dag_tiles(
+    tiles: jax.Array,
+    lo: int,
+    k: int,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    block_offset: jax.Array | int = 0,
+) -> jax.Array:
+    """Histogram via the shared AND-DAG (CONCRETE lo): counts for keys
+    lo..lo+k-1 with the whole consecutive chunk sharing one memoized
+    subtree — counted 430 ops per 32 values at k=32 vs 840 for the
+    mask-window kernel, 2740 vs 13440 at k=512 (4.9x).  Chunk branches
+    per pallas_call capped at 8 via _static_group_sizes; each extra
+    group is another read pass over the packed column (cheap next to
+    the VPU saving)."""
+    if not (1 <= k <= 4096):
+        raise ValueError(f"histogram supports 1 <= k <= 4096, got {k}")
+    lo_i = int(lo)
+    parts = []
+    g0 = 0
+    for g in _static_group_sizes(k):
+        keys = tuple(range(lo_i + g0, lo_i + g0 + g))
+        g0 += g
+        parts.append(
+            _histogram_dag_tiles_impl(
+                tiles, keys, width, n, tb, interpret, block_offset
+            )
+        )
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+
+
 def histogram_device(
     dev: DeviceColumn, lo=0, k: int | None = None,
     tb: int | None = None, interpret: bool = False,
 ) -> jax.Array:
     """Value histogram of a packed column -> uint32 counts (k,), default
     the full domain (k = 2^width, capped at 4096).  Read-bound: one pass
-    over the packed bytes, no bitvector output exists."""
+    over the packed bytes, no bitvector output exists.  Concrete lo
+    dispatches to the shared-AND-DAG kernel (histogram_dag_tiles);
+    traced lo keeps the mask-window kernel."""
     if k is None:
         k = min(1 << dev.width, 4096)
-    return histogram_tiles(
+    if isinstance(lo, jax.core.Tracer):
+        return histogram_tiles(
+            dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret
+        )
+    return histogram_dag_tiles(
         dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret
     )
 

@@ -494,14 +494,46 @@ def sharded_histogram(
 ) -> jax.Array:
     """Counts-only value histogram over a sharded column -> uint32 (k,)
     psum-reduced across the mesh (default the full domain, capped at 4096;
-    see :func:`scan_ops.histogram_device`)."""
+    see :func:`scan_ops.histogram_device`).  Concrete lo dispatches to
+    the shared-AND-DAG kernel, like the single-chip path."""
     if k is None:
         k = min(1 << dev.width, 4096)
+    if not isinstance(lo, jax.core.Tracer):
+        return _sharded_histogram_dag_tiles(
+            dev.tiles, mesh=mesh, lo=int(lo), k=k, width=dev.width,
+            n=dev.n, tb=tb, interpret=interpret,
+        )
     lo = jnp.asarray(lo, jnp.uint32)
     return _sharded_histogram_tiles(
         dev.tiles, lo, mesh=mesh, k=k, width=dev.width, n=dev.n, tb=tb,
         interpret=interpret,
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "lo", "k", "width", "n", "tb", "interpret"),
+)
+def _sharded_histogram_dag_tiles(
+    tiles, *, mesh, lo, k, width, n, tb, interpret
+):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        counts = scan_ops.histogram_dag_tiles(
+            tiles_l, lo, k, width, n, tb=tb, interpret=interpret,
+            block_offset=off,
+        )
+        return jax.lax.psum(counts, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(None, DATA_AXIS, None),
+        out_specs=P(),
+        check_vma=False,
+    )(tiles)
 
 
 @functools.partial(

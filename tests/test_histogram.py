@@ -1,4 +1,6 @@
 """Histogram (counts-only interval scan) tests."""
+import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -71,3 +73,30 @@ def test_histogram_matches_interval_counts():
     counts = scan_ops.histogram_device(dev, lo=50, k=64, interpret=True)
     _, icounts = scan_ops.interval_scan_device(dev, 50, 64, interpret=True)
     np.testing.assert_array_equal(np.asarray(counts), np.asarray(icounts))
+
+
+@pytest.mark.parametrize("lo,k", [(0, 512), (5, 100), (500, 30)])
+def test_histogram_dag_parity(lo, k):
+    # concrete-lo dispatch: the shared-AND-DAG counts kernel vs numpy
+    width, n = 9, 33_000
+    rng = np.random.default_rng(lo + k)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    got = np.asarray(
+        scan_ops.histogram_dag_tiles(dev.tiles, lo, k, width, n, interpret=True)
+    )
+    exp = np.array([(vals == lo + j).sum() for j in range(k)], np.uint32)
+    np.testing.assert_array_equal(got, exp)
+    got2 = np.asarray(scan_ops.histogram_device(dev, lo, k, interpret=True))
+    np.testing.assert_array_equal(got2, exp)
+
+
+def test_histogram_traced_lo_keeps_mask_path():
+    width, n = 9, 9_000
+    rng = np.random.default_rng(0)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    f = jax.jit(lambda lo: scan_ops.histogram_device(dev, lo, 64, interpret=True))
+    got = np.asarray(f(jnp.uint32(3)))
+    exp = np.array([(vals == 3 + j).sum() for j in range(64)], np.uint32)
+    np.testing.assert_array_equal(got, exp)

@@ -383,3 +383,12 @@ def test_lower_linear_interleave(dev, k):
         return scan_ops.shared_scan_linear_device(dd, keys)
 
     export_tpu(f, tiles_aval(dev))
+
+
+@pytest.mark.parametrize("k", [32, 512])
+def test_lower_histogram_dag(dev, k):
+    """Counts-only shared-AND-DAG histogram (concrete lo)."""
+    def f(tiles):
+        return scan_ops.histogram_dag_tiles(tiles, 0, k, WIDTH, N)
+
+    export_tpu(f, tiles_aval(dev))
