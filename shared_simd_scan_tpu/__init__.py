@@ -24,6 +24,7 @@ from shared_simd_scan_tpu import stats  # noqa: F401
 from shared_simd_scan_tpu import forcol  # noqa: F401
 from shared_simd_scan_tpu import dictcol  # noqa: F401
 from shared_simd_scan_tpu import nullable  # noqa: F401
+from shared_simd_scan_tpu import zonemap  # noqa: F401
 from shared_simd_scan_tpu.ops.scan import (  # noqa: F401
     scan_device,
     shared_scan_device,

@@ -915,7 +915,7 @@ def histogram_dag_partials_nbytes(
             for c0 in range(0, g, krows)
         )
         g0 += g
-        per_tb = 512 * (2 * width + krows + width + 32 + live)
+        per_tb = 512 * (2 * width + krows + width + 32 + live + 64)
         tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
         tbg = _pick_tb(b1, tb if tb is not None else tb_auto)
         total += (b1 // tbg) * kpad * LANES * 4
@@ -1057,7 +1057,9 @@ def _histogram_dag_tiles_impl(
     )
     kpad = nchunks * krows
     live = max(_static_dag_liveness(width, chunk) for chunk in chunks)
-    per_tb = 512 * (2 * width + krows + width + 32 + live)
+    # +64: Mosaic scratch headroom beyond the counted DAG liveness (see
+    # _bitsliced_static_tiles_impl — measured scoped-vmem overflow)
+    per_tb = 512 * (2 * width + krows + width + 32 + live + 64)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
     tb = _pick_tb(b1, tb if tb is not None else tb_auto)
     grid = (b1 // tb,) if nchunks == 1 else (b1 // tb, nchunks)
@@ -1947,8 +1949,12 @@ def _bitsliced_static_tiles_impl(
     # + transpose transients (~32) + DAG intermediates (MEASURED peak
     # liveness of the biggest chunk's memoized DAG — a flat 64 guess
     # under-budgeted wide widths ~2.6x, e.g. 134 live vecs at w=31 k=32)
+    # + 64 vecs of Mosaic headroom ON TOP of the measured DAG liveness:
+    # liveness alone RAISED tb for small-k chunks and Mosaic's own
+    # scratch overflowed the 16 MB scoped-vmem limit by 512 KB at
+    # spread k=8, 512 MiB (measured hardware compile failure)
     live = max(_static_dag_liveness(width, chunk) for chunk in chunks)
-    per_tb = 512 * (2 * width + 2 * krows + width + 32 + live)
+    per_tb = 512 * (2 * width + 2 * krows + width + 32 + live + 64)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
     tb = _pick_tb(b1, tb if tb is not None else tb_auto)
     grid = (b1 // tb,) if nchunks == 1 else (b1 // tb, nchunks)

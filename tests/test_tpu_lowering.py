@@ -392,3 +392,19 @@ def test_lower_histogram_dag(dev, k):
         return scan_ops.histogram_dag_tiles(tiles, 0, k, WIDTH, N)
 
     export_tpu(f, tiles_aval(dev))
+
+
+def test_lower_zonemap_pruned_scan(dev):
+    """Pruned range scan: dynamic_slice + range kernel at a bucketed span."""
+    from shared_simd_scan_tpu import zonemap as zm
+
+    def f(tiles, start):
+        return zm._pruned_range_tiles(
+            tiles, start,
+            jnp.asarray([5], jnp.uint32), jnp.asarray([9], jnp.uint32),
+            span=8, width=WIDTH, n=N, tb=None, interpret=False,
+        )
+
+    export_tpu(
+        f, tiles_aval(dev), jax.ShapeDtypeStruct((), jnp.int32)
+    )

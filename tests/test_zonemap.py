@@ -1,0 +1,95 @@
+"""Zone-map (scan skipping) tests vs numpy."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from shared_simd_scan_tpu import bitvector, layout, zonemap
+
+
+def _sorted_col(width, n, seed=0):
+    rng = np.random.default_rng(seed)
+    vals = np.sort(rng.integers(0, 1 << width, size=n, dtype=np.uint32))
+    return vals, layout.pack_device(jnp.asarray(vals), width)
+
+
+def _check(vals, dev, zmap, lo, hi):
+    bits, cnt = zonemap.pruned_range_scan(
+        dev, zmap, lo, hi, interpret=True
+    )
+    mask = (vals >= lo) & (vals < hi)
+    assert int(cnt) == int(mask.sum()), (lo, hi)
+    got = np.asarray(bitvector.to_bool(bits, dev.n))
+    np.testing.assert_array_equal(got, mask)
+
+
+def test_zonemap_sorted_point_and_range():
+    width, n = 9, 70_000
+    vals, dev = _sorted_col(width, n, seed=1)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    # point queries incl. absent keys, plus ranges spanning zone edges
+    for key in (0, 17, 100, 511):
+        bits, cnt = zonemap.pruned_eq_scan(dev, zmap, key, interpret=True)
+        assert int(cnt) == int((vals == key).sum())
+        got = np.asarray(bitvector.to_bool(bits, n))
+        np.testing.assert_array_equal(got, vals == key)
+    _check(vals, dev, zmap, 100, 120)
+    _check(vals, dev, zmap, 0, 512)      # full domain -> fallback path
+    _check(vals, dev, zmap, 511, 512)
+
+
+def test_zonemap_no_match_prunes_everything():
+    width, n = 9, 20_000
+    rng = np.random.default_rng(2)
+    vals = rng.integers(0, 200, size=n, dtype=np.uint32)  # domain gap
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    assert zonemap.prune_span(zmap, 300, 400) is None
+    bits, cnt = zonemap.pruned_range_scan(dev, zmap, 300, 400, interpret=True)
+    assert int(cnt) == 0
+    assert np.asarray(bits).sum() == 0
+
+
+def test_zonemap_unsorted_is_sound():
+    width, n = 9, 30_000
+    rng = np.random.default_rng(3)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    _check(vals, dev, zmap, 37, 38)   # spans ~everything -> fallback
+    _check(vals, dev, zmap, 5, 200)
+
+
+def test_zonemap_clustered_span_is_small():
+    # time-clustered data: values grow with the row index
+    width, n = 9, 66_000
+    base = (np.arange(n, dtype=np.uint32) * 512) // n
+    vals = base  # strictly clustered
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    sp = zonemap.prune_span(zmap, 100, 102)
+    assert sp is not None
+    start, span = sp
+    # the narrow predicate lands on a single zone (the minimum bucket)
+    assert span == 8 and span < zmap.b1
+    _check(vals, dev, zmap, 100, 102)
+
+
+def test_zonemap_padding_zone_prunes():
+    # a tiny column: the padded tail zones must report (0xFFFFFFFF, 0)
+    width, n = 9, 200
+    vals = np.full(n, 37, np.uint32)
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    assert zmap.zmax[1:].max(initial=0) == 0  # only zone 0 holds data
+    _check(vals, dev, zmap, 37, 38)
+    bits, cnt = zonemap.pruned_eq_scan(dev, zmap, 36, interpret=True)
+    assert int(cnt) == 0
+
+
+def test_zonemap_rejects_bad_zone_size():
+    width, n = 9, 10_000
+    vals = np.zeros(n, np.uint32)
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    with pytest.raises(ValueError, match="zone_b1"):
+        zonemap.build_zonemap(dev, zone_b1=7, interpret=True)
