@@ -24,8 +24,6 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
-import jax.numpy as jnp  # noqa: E402
-
 from shared_simd_scan_tpu import layout  # noqa: E402
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
 from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402

@@ -161,9 +161,24 @@ def _group_and_terms(terms):
     return chunks, others, empty
 
 
-def _eval(expr, n: int, interpret: bool) -> jax.Array:
-    """-> canonical bitvector words for the subtree."""
+def _eval(expr, n: int, interpret: bool, zonemaps=None) -> jax.Array:
+    """-> canonical bitvector words for the subtree.
+
+    ``zonemaps`` maps ``id(col)`` -> zonemap.ZoneMap: Range/Eq work on a
+    mapped column scans only the pruned block span (zonemap.py).  Range
+    conjuncts of an And merge per column first; a merged single-column
+    group still prunes, multi-column fused groups run the conj kernel
+    (cross-column span intersection is future work)."""
     if isinstance(expr, Range):
+        zm = (zonemaps or {}).get(id(expr.col))
+        if zm is not None:
+            from shared_simd_scan_tpu import zonemap as zonemap_mod
+
+            bits, _ = zonemap_mod.pruned_range_scan(
+                expr.col, zm, int(expr.lo), int(expr.hi),
+                interpret=interpret, full_bits=True,
+            )
+            return bits
         return _eval(And(expr), n, interpret)
     if isinstance(expr, In):
         if not expr.keys:
@@ -173,7 +188,7 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
         )
         return bits
     if isinstance(expr, Not):
-        return bitvector.logical_not(_eval(expr.term, n, interpret), n)
+        return bitvector.logical_not(_eval(expr.term, n, interpret, zonemaps), n)
     if isinstance(expr, Or):
         if not expr.terms:
             return jnp.zeros((n + 31) // 32, jnp.uint32)
@@ -182,18 +197,18 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
         # semantics); multi-value ranges share ONE k-range pass per
         # column (ops.scan.range_scan_tiles, <= 32 unrolled per call)
         spans_by_col, keys_by_col, others = _group_or_terms(expr.terms)
-        rows = [_eval(t, n, interpret) for t in others]
+        rows = [_eval(t, n, interpret, zonemaps) for t in others]
         from shared_simd_scan_tpu.ops.scan import (
             bits_to_canonical,
             range_scan_tiles,
         )
 
         for col, keys in keys_by_col.values():
-            rows.append(_eval(In(col, keys), n, interpret))
+            rows.append(_eval(In(col, keys), n, interpret, zonemaps))
         for col, spans in spans_by_col.values():
             if len(spans) == 1:
                 # single range: the conj kernel writes the one fused row
-                rows.append(_eval(And(Range(col, *spans[0])), n, interpret))
+                rows.append(_eval(Range(col, *spans[0]), n, interpret, zonemaps))
                 continue
             for at in range(0, len(spans), 32):
                 g = spans[at:at + 32]
@@ -223,6 +238,30 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
             # statically empty intersection on some column
             return jnp.zeros((n + 31) // 32, jnp.uint32)
         rows = []
+        if zonemaps:
+            pruned = []
+            for g in chunks:
+                keep = []
+                for col, lo, hi in g:
+                    if id(col) in zonemaps:
+                        pruned.append(
+                            _eval(Range(col, lo, hi), n, interpret, zonemaps)
+                        )
+                    else:
+                        keep.append((col, lo, hi))
+                if keep:
+                    bits, _ = conj_ops.conj_range_scan_device(
+                        [c for c, _, _ in keep],
+                        np.asarray([lo for _, lo, _ in keep], np.uint32),
+                        np.asarray([hi for _, _, hi in keep], np.uint32),
+                        interpret=interpret,
+                    )
+                    pruned.append(bits)
+            rows.extend(pruned)
+            rows.extend(_eval(t, n, interpret, zonemaps) for t in others)
+            return bitvector.logical_and(*rows) if rows else _eval(
+                And(), n, interpret
+            )
         for g in chunks:
             bits, _ = conj_ops.conj_range_scan_device(
                 [c for c, _, _ in g],
@@ -231,13 +270,20 @@ def _eval(expr, n: int, interpret: bool) -> jax.Array:
                 interpret=interpret,
             )
             rows.append(bits)
-        rows.extend(_eval(t, n, interpret) for t in others)
+        rows.extend(_eval(t, n, interpret, zonemaps) for t in others)
         return bitvector.logical_and(*rows)
     raise TypeError(f"not a query expression: {expr!r}")
 
 
-def evaluate(expr, interpret: bool = False) -> tuple[jax.Array, jax.Array]:
-    """Evaluate a predicate tree -> (canonical bitvector words, count)."""
+def evaluate(
+    expr, interpret: bool = False, zonemaps: dict | None = None
+) -> tuple[jax.Array, jax.Array]:
+    """Evaluate a predicate tree -> (canonical bitvector words, count).
+
+    ``zonemaps``: optional ``{id(col): zonemap.ZoneMap}`` — Range/Eq
+    leaves on mapped columns scan only the pruned block span (sorted /
+    clustered columns answer point predicates in O(1) zones; see
+    zonemap.py).  Build with ``{id(col): build_zonemap(col)}``."""
     cols = _columns(expr)
     if not cols:
         raise ValueError("query references no columns")
@@ -245,7 +291,7 @@ def evaluate(expr, interpret: bool = False) -> tuple[jax.Array, jax.Array]:
     for c in cols:
         if c.n != n:
             raise ValueError(f"query columns must share n, got {c.n} != {n}")
-    bits = _eval(expr, n, interpret)
+    bits = _eval(expr, n, interpret, zonemaps)
     return bits, bitvector.popcount(bits)
 
 

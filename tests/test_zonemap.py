@@ -93,3 +93,38 @@ def test_zonemap_rejects_bad_zone_size():
     dev = layout.pack_device(jnp.asarray(vals), width)
     with pytest.raises(ValueError, match="zone_b1"):
         zonemap.build_zonemap(dev, zone_b1=7, interpret=True)
+
+
+def test_query_planner_uses_zonemaps():
+    # Range/Eq leaves on mapped columns prune; composition with
+    # unmapped columns, Or and Not stays exact vs numpy
+    from shared_simd_scan_tpu import query as q
+
+    width, n = 9, 40_000
+    rng = np.random.default_rng(7)
+    a_vals = np.sort(rng.integers(0, 1 << width, size=n, dtype=np.uint32))
+    b_vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    a = layout.pack_device(jnp.asarray(a_vals), width)
+    b = layout.pack_device(jnp.asarray(b_vals), width)
+    zmaps = {id(a): zonemap.build_zonemap(a, zone_b1=8, interpret=True)}
+
+    expr = q.And(q.Range(a, 100, 120), q.Not(q.Eq(b, 7)))
+    bits, cnt = q.evaluate(expr, interpret=True, zonemaps=zmaps)
+    mask = (a_vals >= 100) & (a_vals < 120) & (b_vals != 7)
+    assert int(cnt) == int(mask.sum())
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bits, n)), mask
+    )
+
+    expr2 = q.Or(q.Eq(a, 3), q.Range(b, 500, 512))
+    bits2, cnt2 = q.evaluate(expr2, interpret=True, zonemaps=zmaps)
+    mask2 = (a_vals == 3) | (b_vals >= 500)
+    assert int(cnt2) == int(mask2.sum())
+    np.testing.assert_array_equal(
+        np.asarray(bitvector.to_bool(bits2, n)), mask2
+    )
+
+    # identical results without the zonemap (the pruning is transparent)
+    bits3, cnt3 = q.evaluate(expr, interpret=True)
+    assert int(cnt3) == int(cnt)
+    np.testing.assert_array_equal(np.asarray(bits3), np.asarray(bits))
