@@ -102,7 +102,26 @@ def main() -> int:
     print(f"sparse 40-bit SKUs dictionary-encoded at {dsku.width} bits "
           f"({dsku.values.size} distinct)")
 
-    # 7. the plan, statically
+    # 7. zone maps: scan skipping on the (sorted) timestamp column —
+    # a point-in-time predicate touches O(1) zones, not the whole column
+    from shared_simd_scan_tpu import zonemap
+
+    sorted_ts = forcol.pack_for(np.sort(ts))
+    zmap = zonemap.build_zonemap(sorted_ts.dev, zone_b1=8,
+                                 interpret=INTERPRET)
+    lo_c = 1_700_040_000 - sorted_ts.base
+    span = zonemap.prune_span(zmap, lo_c, lo_c + 600)
+    _, zcnt = zonemap.pruned_range_scan(
+        sorted_ts.dev, zmap, lo_c, lo_c + 600, interpret=INTERPRET
+    )
+    tss = np.sort(ts)
+    assert int(zcnt) == int(
+        ((tss >= 1_700_040_000) & (tss < 1_700_040_600)).sum()
+    )
+    print(f"zone map: 10-minute window scans {span[1]}/{zmap.b1} "
+          f"block-rows ({zmap.nzones} zones)")
+
+    # 8. the plan, statically
     print(q.explain(expr))
 
     print("demo OK")
