@@ -18,8 +18,9 @@ TPU-native design constraints shape the API:
 - **Soundness before tightness.** The span covers every zone whose
   [zmin, zmax] intersects the predicate; interior zones that cannot
   match are still scanned (contiguity is what the hardware wants).
-  Padding blocks are zero-filled by the layout contract, making the
-  tail zone's zmin conservatively 0 — never unsound.
+  Padding positions are validity-masked out of the zone stats (the scan
+  kernels mask them out of results the same way), so all-padding zones
+  report (0xFFFFFFFF, 0) and prune unconditionally.
 - **Fallback.** When the span exceeds half the column the pruned path
   would pay the slice copy for little gain; the plain full-column kernel
   runs instead.  Unsorted columns therefore lose nothing.
@@ -102,6 +103,37 @@ def build_zonemap(
         zone_b1=zone_b1, b1=b1,
         zmin=np.concatenate(mins), zmax=np.concatenate(maxs),
     )
+
+
+def build_zonemap_from_values(
+    values: np.ndarray, b1: int, zone_b1: int = 64
+) -> ZoneMap:
+    """Ingest-time zone map: numpy min/max over the values BEFORE packing
+    (free next to the pack itself — :func:`build_zonemap` exists for
+    columns whose raw values are gone and costs a decompress pass).
+
+    ``b1`` is the packed column's padded block-row count
+    (``dev.tiles.shape[1]``); value index i lands in zone
+    ``i // (zone_b1 * 4096)`` under the device layout, so plain
+    contiguous reduction is exact."""
+    if zone_b1 % 8 or b1 % zone_b1:
+        raise ValueError(
+            f"zone_b1={zone_b1} must be a multiple of 8 dividing the "
+            f"padded block-row count {b1} (8/64 always work)"
+        )
+    values = np.asarray(values, dtype=np.uint32)
+    per = zone_b1 * LANES * BLOCK_VALUES
+    nz = b1 // zone_b1
+    zmin = np.full(nz, 0xFFFFFFFF, np.uint32)
+    zmax = np.zeros(nz, np.uint32)
+    # padding positions never match any predicate (the kernels' validity
+    # tail masks them), so zone stats cover REAL values only — identical
+    # to build_zonemap's validity-masked reduction
+    for z in range(0, (values.size + per - 1) // per):
+        chunk = values[z * per : (z + 1) * per]
+        zmin[z] = chunk.min()
+        zmax[z] = chunk.max()
+    return ZoneMap(zone_b1=zone_b1, b1=b1, zmin=zmin, zmax=zmax)
 
 
 def prune_span(zmap: ZoneMap, lo: int, hi: int) -> tuple[int, int] | None:

@@ -128,3 +128,17 @@ def test_query_planner_uses_zonemaps():
     bits3, cnt3 = q.evaluate(expr, interpret=True)
     assert int(cnt3) == int(cnt)
     np.testing.assert_array_equal(np.asarray(bits3), np.asarray(bits))
+
+
+@pytest.mark.parametrize("n", [40_000, 32_768 * 8])  # partial + exact zones
+def test_zonemap_from_values_matches_device_build(n):
+    width = 9
+    rng = np.random.default_rng(n)
+    vals = rng.integers(1, 1 << width, size=n, dtype=np.uint32)
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zdev = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    zval = zonemap.build_zonemap_from_values(vals, dev.tiles.shape[1],
+                                             zone_b1=8)
+    np.testing.assert_array_equal(zdev.zmin, zval.zmin)
+    np.testing.assert_array_equal(zdev.zmax, zval.zmax)
+    assert zdev.zone_b1 == zval.zone_b1 and zdev.b1 == zval.b1
