@@ -100,11 +100,15 @@ def configs(width: int, ks: list[int]):
             (np.arange(k, dtype=np.uint64) * 2654435761 % (1 << width))
             .astype(np.uint32)
         ))
-        yield (f"shared scan k={k} (static AND-DAG spread)", io, 1,
+        # label with the DEDUPLICATED key count: near/above 2^width the
+        # spread generator collides and a k-label would under-state cost
+        ks_u = int(spread.shape[0])
+        yield (f"shared scan k={ks_u} (static AND-DAG spread)",
+               width / 8 + ks_u / 8.0, 1,
                lambda spread=spread: {
                    "per_value": scan_ops.bitsliced_static_cost(
                        width, spread) / 4.0})
-        yield (f"member IN-list k={k} (OR-tree spread)",
+        yield (f"member IN-list k={ks_u} (OR-tree spread)",
                width / 8 + 1 / 8.0, 1,
                lambda spread=spread: {
                    "per_value": member_ops.member_ortree_cost(

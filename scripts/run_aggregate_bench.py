@@ -29,17 +29,13 @@ import jax.numpy as jnp  # noqa: E402
 
 from shared_simd_scan_tpu import layout  # noqa: E402
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
+from shared_simd_scan_tpu.bench.cli import parse_size  # noqa: E402
 from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402
 from shared_simd_scan_tpu.ops import aggregate as agg_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 WP = 9
 CASES = [(9, 8), (16, 8), (16, 32)]  # (measure width, k)
-
-
-def parse_size(s: str) -> int:
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1].lower(), 1)
-    return int(float(s[:-1] if mult > 1 else s) * mult)
 
 
 def main(argv):

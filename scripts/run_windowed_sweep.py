@@ -35,6 +35,7 @@ import numpy as np  # noqa: E402
 
 from shared_simd_scan_tpu import layout  # noqa: E402
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
+from shared_simd_scan_tpu.bench.cli import parse_size  # noqa: E402
 from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402
 from shared_simd_scan_tpu.ops import scan as scan_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
@@ -53,11 +54,6 @@ def clustered_keys(width: int, k: int, seed: int) -> np.ndarray:
                        size=nclusters, replace=False)
     keys = (bases[:, None] + np.arange(CLUSTER, dtype=np.uint32)).reshape(-1)
     return np.sort(keys[:k]).astype(np.uint32)
-
-
-def parse_size(s: str) -> int:
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1].lower(), 1)
-    return int(s[:-1] if mult > 1 else s) * mult
 
 
 def main(argv):

@@ -3,8 +3,9 @@
 A sorted 512 MiB packed 9-bit column (the zone map's target workload —
 time-ordered / clustered fact tables), point and narrow-range queries:
 the pruned span touches O(1) zones where the full-column kernel reads
-every byte.  Every row verified (count + full bitvector) vs the
-full-column kernel before timing.
+every byte.  Every row verified (count + a 2M-word canonical-bit
+prefix covering the span placement) vs the full-column kernel before
+timing.
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_zonemap_bench.py \
@@ -21,19 +22,16 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
 
 from shared_simd_scan_tpu import layout, zonemap  # noqa: E402
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
+from shared_simd_scan_tpu.bench.cli import parse_size  # noqa: E402
 from shared_simd_scan_tpu.bench.timing import measure_loop  # noqa: E402
 from shared_simd_scan_tpu.ops import scan as scan_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 WIDTH = 9
-
-
-def parse_size(s: str) -> int:
-    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}.get(s[-1].lower(), 1)
-    return int(float(s[:-1] if mult > 1 else s) * mult)
 
 
 def main(argv):
@@ -78,13 +76,24 @@ def main(argv):
         sp = zonemap.prune_span(zmap, lo, hi)
         assert sp is not None
         start, span = sp
-        # verify pruned vs full kernel (counts + the span's soundness)
-        _, cnt_p = zonemap.pruned_range_scan(dev, zmap, lo, hi,
-                                             full_bits=False)
-        _, cnt_f = scan_ops.range_scan_tiles(
+        # verify pruned vs full kernel: counts AND the canonical-bit
+        # placement (a 2M-word prefix slice fetched under one jit — the
+        # prefix covers the pruned span's start offset path)
+        WCHK = 2_000_000
+        bits_p, cnt_p = zonemap.pruned_range_scan(dev, zmap, lo, hi,
+                                                  full_bits=True)
+        bits_f, cnt_f = scan_ops.range_scan_tiles(
             dev.tiles, jnp.asarray([lo], jnp.uint32),
             jnp.asarray([hi], jnp.uint32), WIDTH, n)
-        ok = int(jax.device_get(cnt_p)) == int(jax.device_get(cnt_f[0]))
+        cbits_f = scan_ops.bits_to_canonical(bits_f, n)[0]
+        pre_p = np.asarray(jax.device_get(
+            jax.jit(lambda b: b[:WCHK])(bits_p)))
+        pre_f = np.asarray(jax.device_get(
+            jax.jit(lambda b: b[:WCHK])(cbits_f)))
+        ok = (
+            int(jax.device_get(cnt_p)) == int(jax.device_get(cnt_f[0]))
+            and bool((pre_p == pre_f).all())
+        )
 
         lows = jnp.asarray([lo], jnp.uint32)
         highs = jnp.asarray([hi], jnp.uint32)

@@ -33,13 +33,18 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
 
 
-def _parse_size(s: str) -> int:
+def parse_size(s: str) -> int:
+    """'512m' / '64k' / '2g' / plain bytes -> int (shared by the bench
+    scripts — the one home of the suffix rule)."""
     s = s.lower()
     mult = 1
     if s and s[-1] in "kmg":
         mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}[s[-1]]
         s = s[:-1]
     return int(s) * mult
+
+
+_parse_size = parse_size
 
 
 def _usage() -> str:

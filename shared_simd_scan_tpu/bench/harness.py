@@ -797,7 +797,12 @@ def check_linear_scan(dev: layout.DeviceColumn, k: int) -> bool:
     512 MiB)."""
     keys = np.arange(k, dtype=np.uint32)
     nv = min(dev.n, 8 * 1024)
-    vhost = np.asarray(jax.device_get(unpack_ops.unpack_device(dev)[:nv]))
+    # decode ONLY the prefix's block rows (a full-column unpack would
+    # materialize 4n bytes to verify 8 KB)
+    pre = layout.DeviceColumn(
+        width=dev.width, n=nv, tiles=dev.tiles[:, :8, :]
+    )
+    vhost = np.asarray(jax.device_get(unpack_ops.unpack_device(pre)[:nv]))
     exp = np.zeros(((nv + 7) // 8) * k, np.uint8)
     for j, key in enumerate(keys):
         m = np.packbits(vhost == key, bitorder="little")

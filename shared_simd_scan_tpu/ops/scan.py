@@ -1133,12 +1133,14 @@ def histogram_device(
 ) -> jax.Array:
     """Value histogram of a packed column -> uint32 counts (k,), default
     the full domain (k = 2^width, capped at 4096).  Read-bound: one pass
-    over the packed bytes, no bitvector output exists.  Concrete lo
-    dispatches to the shared-AND-DAG kernel (histogram_dag_tiles);
-    traced lo keeps the mask-window kernel."""
+    over the packed bytes, no bitvector output exists.  Concrete
+    (non-jax) lo dispatches to the shared-AND-DAG kernel
+    (histogram_dag_tiles); a jax scalar / traced lo keeps the
+    once-compiled mask-window kernel — pass lo that way when sweeping
+    many windows (each concrete lo specializes its own DAG programs)."""
     if k is None:
         k = min(1 << dev.width, 4096)
-    if isinstance(lo, jax.core.Tracer):
+    if isinstance(lo, (jax.Array, jax.core.Tracer)):
         return histogram_tiles(
             dev.tiles, lo, k, dev.width, dev.n, tb=tb, interpret=interpret
         )

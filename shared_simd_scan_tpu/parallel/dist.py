@@ -494,11 +494,12 @@ def sharded_histogram(
 ) -> jax.Array:
     """Counts-only value histogram over a sharded column -> uint32 (k,)
     psum-reduced across the mesh (default the full domain, capped at 4096;
-    see :func:`scan_ops.histogram_device`).  Concrete lo dispatches to
-    the shared-AND-DAG kernel, like the single-chip path."""
+    see :func:`scan_ops.histogram_device`).  Concrete (non-jax) lo
+    dispatches to the shared-AND-DAG kernel, like the single-chip path;
+    pass a jax scalar to force the once-compiled mask kernel."""
     if k is None:
         k = min(1 << dev.width, 4096)
-    if not isinstance(lo, jax.core.Tracer):
+    if not isinstance(lo, (jax.Array, jax.core.Tracer)):
         return _sharded_histogram_dag_tiles(
             dev.tiles, mesh=mesh, lo=int(lo), k=k, width=dev.width,
             n=dev.n, tb=tb, interpret=interpret,

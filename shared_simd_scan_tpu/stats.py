@@ -14,10 +14,11 @@ still O(1) memory and read-bound per pass).
 from __future__ import annotations
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from shared_simd_scan_tpu.layout import DeviceColumn
-from shared_simd_scan_tpu.ops.scan import histogram_dag_tiles
+from shared_simd_scan_tpu.ops.scan import histogram_dag_tiles, histogram_tiles
 
 _WINDOW = 4096
 
@@ -45,14 +46,26 @@ def histogram_full(
         if mesh is not None:
             from shared_simd_scan_tpu.parallel import dist
 
+            # jax-scalar lo past one window: one mask-kernel program for
+            # every window (same compile-count rule as the local branch)
+            lo_arg = lo if dom <= _WINDOW else jnp.uint32(lo)
             counts = dist.sharded_histogram(
-                dev, mesh, lo=lo, k=k, tb=tb, interpret=interpret
+                dev, mesh, lo=lo_arg, k=k, tb=tb, interpret=interpret
             )
-        else:
-            # lo is concrete here: take the shared-AND-DAG kernel (2.4x
-            # the mask-window kernel at k=4096-class domains, measured)
+        elif dom <= _WINDOW:
+            # single window: the shared-AND-DAG kernel (2.4x the
+            # mask-window kernel, measured) at a bounded program count
             counts = histogram_dag_tiles(
                 dev.tiles, lo, k, dev.width, dev.n,
+                tb=tb, interpret=interpret,
+            )
+        else:
+            # width > 12: every 4096-value window would specialize its
+            # own static-key DAG programs (up to 256 windows x 16 groups
+            # of multi-minute relay compiles) — the traced-lo mask
+            # kernel compiles ONCE and serves every window
+            counts = histogram_tiles(
+                dev.tiles, jnp.uint32(lo), k, dev.width, dev.n,
                 tb=tb, interpret=interpret,
             )
         parts.append(np.asarray(jax.device_get(counts)))

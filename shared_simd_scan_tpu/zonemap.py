@@ -174,6 +174,37 @@ def _pruned_range_tiles(
     )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("span", "width", "n", "tb", "interpret")
+)
+def _pruned_range_full(
+    tiles, start, lows, highs, *, span, width, n, tb, interpret
+):
+    """Pruned kernel + full-length canonical assembly under ONE jit —
+    eager composition would submit the zeros / dynamic_update_slice /
+    canonical reshape as separate relay executions (40-60 ms overhead
+    each) and materialize every intermediate."""
+    bits, cnt = _pruned_range_tiles(
+        tiles, start, lows, highs,
+        span=span, width=width, n=n, tb=tb, interpret=interpret,
+    )
+    full = jax.lax.dynamic_update_slice(
+        jnp.zeros((1, tiles.shape[1], LANES), jnp.uint32), bits,
+        (0, start, 0),
+    )
+    return scan_ops.bits_to_canonical(full, n)[0], cnt[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("width", "n", "tb", "interpret")
+)
+def _full_range_canonical(tiles, lows, highs, *, width, n, tb, interpret):
+    bits, cnt = scan_ops.range_scan_tiles(
+        tiles, lows, highs, width, n, tb=tb, interpret=interpret
+    )
+    return scan_ops.bits_to_canonical(bits, n)[0], cnt[0]
+
+
 def pruned_range_scan(
     dev: DeviceColumn,
     zmap: ZoneMap,
@@ -200,24 +231,27 @@ def pruned_range_scan(
         return bits, jnp.uint32(0)
     start, span = sp
     if span * 2 > b1:
-        bits, cnt = scan_ops.range_scan_tiles(
+        if full_bits:
+            cbits, cnt = _full_range_canonical(
+                dev.tiles, lows, highs, width=dev.width, n=dev.n, tb=tb,
+                interpret=interpret,
+            )
+            return cbits, cnt
+        _, cnt = scan_ops.range_scan_tiles(
             dev.tiles, lows, highs, dev.width, dev.n, tb=tb,
             interpret=interpret,
         )
-        return (
-            scan_ops.bits_to_canonical(bits, dev.n)[0] if full_bits else None,
-            cnt[0],
+        return None, cnt[0]
+    if full_bits:
+        return _pruned_range_full(
+            dev.tiles, jnp.int32(start), lows, highs,
+            span=span, width=dev.width, n=dev.n, tb=tb, interpret=interpret,
         )
-    bits, cnt = _pruned_range_tiles(
+    _, cnt = _pruned_range_tiles(
         dev.tiles, jnp.int32(start), lows, highs,
         span=span, width=dev.width, n=dev.n, tb=tb, interpret=interpret,
     )
-    if not full_bits:
-        return None, cnt[0]
-    full = jax.lax.dynamic_update_slice(
-        jnp.zeros((1, b1, LANES), jnp.uint32), bits, (0, jnp.int32(start), 0)
-    )
-    return scan_ops.bits_to_canonical(full, dev.n)[0], cnt[0]
+    return None, cnt[0]
 
 
 def pruned_eq_scan(
