@@ -316,6 +316,92 @@ void sss_shared_scan(const uint8_t* packed, uint64_t n, int width,
                     counts_out + 64);
 }
 
-int sss_version(void) { return 1; }
+// ---------------------------------------------------------------------------
+// interleave: k bitvectors (stride bytes apart, LSB-first byte streams) ->
+// linear layout out[g*k + j] = byte g of bitvector j (the reference's
+// shared_scan_128_linear byte order, simd_scan_shared_linear.cpp:57).
+//
+// Host-side relayout companion of the device MXU permutation kernel
+// (shared_simd_scan_tpu/ops/linear.py): callers exporting match bytes to
+// host memory fetch the native (k, W) layout and interleave here at
+// memcpy-class speed.  AVX2 fast path for k % 8 == 0: 32 groups per
+// iteration via the 3-stage unpack byte transpose (8 streams -> 8-byte
+// units), one 8-byte store per (group, key-octet).
+// ---------------------------------------------------------------------------
+void sss_interleave(const uint8_t* bits, uint64_t stride, int k,
+                    uint64_t nbytes, uint8_t* out) {
+  const uint64_t chunk = 4096;  // groups per task (output: 4096*k bytes)
+  const int64_t nchunks = (int64_t)((nbytes + chunk - 1) / chunk);
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const uint64_t lo = (uint64_t)c * chunk;
+    const uint64_t hi = (lo + chunk < nbytes) ? lo + chunk : nbytes;
+    uint64_t g = lo;
+#if defined(__AVX2__)
+    if (k % 8 == 0) {
+      for (; g + 32 <= hi; g += 32) {
+        for (int q = 0; q + 8 <= k; q += 8) {
+          const uint8_t* s = bits + (uint64_t)q * stride + g;
+          const __m256i r0 = _mm256_loadu_si256((const __m256i*)(s + 0 * stride));
+          const __m256i r1 = _mm256_loadu_si256((const __m256i*)(s + 1 * stride));
+          const __m256i r2 = _mm256_loadu_si256((const __m256i*)(s + 2 * stride));
+          const __m256i r3 = _mm256_loadu_si256((const __m256i*)(s + 3 * stride));
+          const __m256i r4 = _mm256_loadu_si256((const __m256i*)(s + 4 * stride));
+          const __m256i r5 = _mm256_loadu_si256((const __m256i*)(s + 5 * stride));
+          const __m256i r6 = _mm256_loadu_si256((const __m256i*)(s + 6 * stride));
+          const __m256i r7 = _mm256_loadu_si256((const __m256i*)(s + 7 * stride));
+          const __m256i t0 = _mm256_unpacklo_epi8(r0, r1);
+          const __m256i t1 = _mm256_unpackhi_epi8(r0, r1);
+          const __m256i t2 = _mm256_unpacklo_epi8(r2, r3);
+          const __m256i t3 = _mm256_unpackhi_epi8(r2, r3);
+          const __m256i t4 = _mm256_unpacklo_epi8(r4, r5);
+          const __m256i t5 = _mm256_unpackhi_epi8(r4, r5);
+          const __m256i t6 = _mm256_unpacklo_epi8(r6, r7);
+          const __m256i t7 = _mm256_unpackhi_epi8(r6, r7);
+          const __m256i u0 = _mm256_unpacklo_epi16(t0, t2);
+          const __m256i u1 = _mm256_unpackhi_epi16(t0, t2);
+          const __m256i u2 = _mm256_unpacklo_epi16(t1, t3);
+          const __m256i u3 = _mm256_unpackhi_epi16(t1, t3);
+          const __m256i u4 = _mm256_unpacklo_epi16(t4, t6);
+          const __m256i u5 = _mm256_unpackhi_epi16(t4, t6);
+          const __m256i u6 = _mm256_unpacklo_epi16(t5, t7);
+          const __m256i u7 = _mm256_unpackhi_epi16(t5, t7);
+          // v_i: lane0 = groups {2i, 2i+1}, lane1 = groups {2i+16, 2i+17},
+          // each an 8-byte unit of keys q..q+7
+          const __m256i v[8] = {
+              _mm256_unpacklo_epi32(u0, u4), _mm256_unpackhi_epi32(u0, u4),
+              _mm256_unpacklo_epi32(u1, u5), _mm256_unpackhi_epi32(u1, u5),
+              _mm256_unpacklo_epi32(u2, u6), _mm256_unpackhi_epi32(u2, u6),
+              _mm256_unpacklo_epi32(u3, u7), _mm256_unpackhi_epi32(u3, u7)};
+          uint8_t* o = out + g * (uint64_t)k + q;
+          if (k == 8) {
+            // units are contiguous: two 16-byte stores per vector
+            for (int i = 0; i < 8; ++i) {
+              _mm_storeu_si128((__m128i*)(o + (uint64_t)(2 * i) * 8),
+                               _mm256_castsi256_si128(v[i]));
+              _mm_storeu_si128((__m128i*)(o + (uint64_t)(2 * i + 16) * 8),
+                               _mm256_extracti128_si256(v[i], 1));
+            }
+          } else {
+            for (int i = 0; i < 8; ++i) {
+              alignas(32) uint64_t lanes[4];
+              _mm256_store_si256((__m256i*)lanes, v[i]);
+              std::memcpy(o + (uint64_t)(2 * i) * k, &lanes[0], 8);
+              std::memcpy(o + (uint64_t)(2 * i + 1) * k, &lanes[1], 8);
+              std::memcpy(o + (uint64_t)(2 * i + 16) * k, &lanes[2], 8);
+              std::memcpy(o + (uint64_t)(2 * i + 17) * k, &lanes[3], 8);
+            }
+          }
+        }
+      }
+    }
+#endif
+    for (; g < hi; ++g)
+      for (int j = 0; j < k; ++j)
+        out[g * (uint64_t)k + j] = bits[(uint64_t)j * stride + g];
+  }
+}
+
+int sss_version(void) { return 2; }
 
 }  // extern "C"

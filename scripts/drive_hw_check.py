@@ -102,7 +102,78 @@ sv = np.sort(vals_np)
 assert int(qs[0]) == int(sv[max(1, int(np.ceil(0.5 * N))) - 1])
 assert int(qs[1]) == int(sv[max(1, int(np.ceil(0.99 * N))) - 1])
 
-# 7. sharded dispatch on the single real device
+# 7 (round 4). aggregate bit-plane tier: static (AND-DAG) + traced
+step("aggregate bit-plane static k=12")
+akeys = np.unique(((np.arange(12) * 131 + 7) % 512).astype(np.uint32))
+counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+    dev.tiles, bdev.tiles, akeys, WIDTH, 16, N
+)
+asums = agg_ops.finalize_sums(slo, shi)
+ecnt = np.array([(vals_np == kk).sum() for kk in akeys], np.uint32)
+esum = np.array(
+    [bvals_np[vals_np == kk].astype(np.uint64).sum() for kk in akeys],
+    np.uint64,
+)
+assert (np.asarray(jax.device_get(counts)) == ecnt).all(), "bp-static counts"
+assert (asums == esum).all(), "bp-static sums"
+
+step("aggregate bit-plane traced k=12 + device dispatch")
+counts, slo, shi = agg_ops.aggregate_bitplane_tiles(
+    dev.tiles, bdev.tiles, jnp.asarray(akeys), WIDTH, 16, N
+)
+assert (np.asarray(jax.device_get(counts)) == ecnt).all(), "bp-traced counts"
+assert (agg_ops.finalize_sums(slo, shi) == esum).all(), "bp-traced sums"
+assert agg_ops.pick_aggregate_tier(WIDTH, 16, akeys) == "bitplane"
+dsums, dcounts = agg_ops.aggregate_scan_device(dev, bdev, akeys)
+assert (np.asarray(jax.device_get(dcounts)) == ecnt).all(), "dispatch counts"
+assert (dsums == esum).all(), "dispatch sums"
+
+# 8 (round 4). linear export: MXU permutation relayout (k=8) + fallback
+step("linear MXU interleave k=8")
+lkeys = np.arange(8, dtype=np.uint32)
+lin = scan_ops.shared_scan_linear_device(dev, lkeys)
+lin_np = np.asarray(jax.device_get(lin))
+exp_lin = np.zeros(((N + 7) // 8) * 8, np.uint8)
+for j, key in enumerate(lkeys):
+    exp_lin[j::8] = np.packbits(vals_np == key, bitorder="little")
+np.testing.assert_array_equal(lin_np, exp_lin)
+
+step("linear XLA-stack fallback k=6")
+lkeys6 = np.arange(6, dtype=np.uint32)
+lin6 = np.asarray(jax.device_get(scan_ops.shared_scan_linear_device(dev, lkeys6)))
+exp6 = np.zeros(((N + 7) // 8) * 6, np.uint8)
+for j, key in enumerate(lkeys6):
+    exp6[j::6] = np.packbits(vals_np == key, bitorder="little")
+np.testing.assert_array_equal(lin6, exp6)
+
+# 9 (round 4). histogram span kernel (single-pass full domain)
+step("histogram span k=512")
+hist = np.asarray(
+    jax.device_get(scan_ops.histogram_dag_tiles(dev.tiles, 0, 512, WIDTH, N))
+)
+np.testing.assert_array_equal(hist, np.bincount(vals_np, minlength=512))
+
+# 10 (round 4). zoned range scan (gather grid, scattered live steps)
+step("zoned range scan (clustered-unsorted)")
+from shared_simd_scan_tpu import zonemap as zm  # noqa: E402
+
+zvals = rng.integers(100, 200, N, dtype=np.uint32)
+zvals[: 64 * 4096] = 7
+zvals[-64 * 4096 :] = 7
+zdev = unpack_ops.pack_device_kernel(jnp.asarray(zvals), WIDTH)
+zmap = zm.build_zonemap(zdev, zone_b1=64)
+live = zm.zone_step_mask(zmap, 7, 8, 64)
+# clusters at both file ends (tail cluster may straddle one zone edge)
+assert live[0] and live[-1] and int(live.sum()) <= 3, "gating mask wrong"
+assert not live[1 : len(live) // 2].any(), "middle zones must prune"
+zbits, zcnt = zm.zoned_range_scan(zdev, zmap, 7, 8, tb=64)
+zmask = zvals == 7
+assert int(jax.device_get(zcnt)) == int(zmask.sum()), "zoned count wrong"
+np.testing.assert_array_equal(
+    np.asarray(jax.device_get(zbits)), expect_words(zmask)
+)
+
+# 11. sharded dispatch on the single real device
 step("sharded")
 from shared_simd_scan_tpu.parallel import dist  # noqa: E402
 

@@ -1,11 +1,11 @@
-"""Linear (interleaved) shared-scan row -> CSV (VERDICT r2 item 8).
+"""Linear (interleaved) shared-scan formulation table -> CSV.
 
 shared_scan_linear_device (the C10 parity surface,
-simd_scan_shared_linear.cpp:9-82) is parity-tested but was never timed.
-Times the full linear path (kernel + XLA relayout to out[group*k + key]
-uint8 order + full-output consume) against a comparator running the
-SAME kernel and consume over the native (k, W) layout — the delta is
-the interleave cost.
+simd_scan_shared_linear.cpp:9-82): every relayout formulation measured
+side by side (VERDICT r3 item 2) — the dispatched MXU permutation
+kernel (ops/linear.py), the chunked XLA stack fallback, the native
+(k, W) comparator (same kernel + consume, no relayout), and the host
+AVX2 interleave floor (csrc sss_interleave).
 
 Usage:
   PYTHONPATH=/root/repo:/root/.axon_site python scripts/run_linear_bench.py \
@@ -32,6 +32,12 @@ from shared_simd_scan_tpu.ops import scan as scan_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 WIDTH = 9
+
+
+def _t(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
 
 
 def main(argv):
@@ -73,13 +79,20 @@ def main(argv):
 
     traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
     rows = []
-    for name, chain in (
-        ("linear-interleaved", harness.chain_linear_shared_scan),
-        ("native-kW-comparator", harness.chain_linear_baseline_shared_scan),
-    ):
+    variants = [
+        ("linear-mxu", harness.chain_linear_shared_scan, {"relayout": "dispatch"},
+         "device rows include a full-output consume pass"),
+        ("linear-xla-stack", harness.chain_linear_shared_scan,
+         {"relayout": "stack"},
+         "device rows include a full-output consume pass"),
+        ("native-kW-comparator", harness.chain_linear_baseline_shared_scan, {},
+         "device rows include a full-output consume pass"),
+    ]
+    for name, chain, extra, note in variants:
         m = measure_loop(
-            functools.partial(chain, width=WIDTH, n=n, tb=None, kk=k),
-            (dev.tiles,), trials=reps, est_iter_s=traffic / 300e9,
+            functools.partial(chain, width=WIDTH, n=n, tb=None, kk=k, **extra),
+            (dev.tiles,), trials=reps,
+            est_iter_s=traffic / (6e9 if name == "linear-xla-stack" else 300e9),
             salt0=(abs(hash(name)) + int(time.time())) % 1_000_000,
         )
         gbs = traffic / m.seconds / 1e9
@@ -87,10 +100,37 @@ def main(argv):
             "width": WIDTH, "k": k, "path": name,
             "ms": round(m.millis, 4), "gb_per_s_counted": round(gbs, 1),
             "verified": ok, "n": n, "traffic_bytes": traffic,
-            "note": "both rows include a full-output consume pass",
+            "note": note,
         })
         print(f"{name}: {gbs:.1f} GB/s counted ({m.millis:.3f} ms) "
               f"verify={'ok' if ok else 'FAIL'}", flush=True)
+
+    # host AVX2 interleave floor at the same byte volume (csrc
+    # sss_interleave).  Interleave-only: the device->host fetch of the
+    # native (k, W) words is NOT included (the relay transfer path cannot
+    # sustain a 477 MB device_get — measured round 3) and would be paid
+    # by ANY export format equally.
+    from shared_simd_scan_tpu import host as host_lib
+
+    if host_lib.available():
+        stride = (n + 7) // 8
+        rnd = np.random.default_rng(0).integers(
+            0, 256, size=(k, stride), dtype=np.uint8
+        )
+        host_lib.interleave_bytes(rnd, stride)  # warm pages / threads
+        best = min(
+            _t(lambda: host_lib.interleave_bytes(rnd, stride))
+            for _ in range(reps)
+        )
+        hgbs = 2 * k * stride / best / 1e9
+        rows.append({
+            "width": WIDTH, "k": k, "path": "host-avx2-interleave",
+            "ms": round(best * 1e3, 4), "gb_per_s_counted": round(hgbs, 1),
+            "verified": True, "n": n, "traffic_bytes": 2 * k * stride,
+            "note": "host-side relayout only; device->host fetch excluded",
+        })
+        print(f"host-avx2-interleave: {hgbs:.1f} GB/s ({best * 1e3:.3f} ms)",
+              flush=True)
 
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

@@ -39,27 +39,38 @@ WIDTH = 9
 
 
 def cases():
+    """(expected tier, k, key-set label, generator expression, keys).
+
+    The key-set column makes every CSV row self-describing (VERDICT r3
+    item 8): two same-k ortree rows differ ONLY in set shape, which sets
+    their DAG cost."""
     return [
-        ("interval", 8, tuple(range(8))),
-        ("interval", 64, tuple(range(64))),
-        ("interval", 512, tuple(range(512))),
+        ("interval", 8, "consecutive", "range(8)", tuple(range(8))),
+        ("interval", 64, "consecutive", "range(64)", tuple(range(64))),
+        ("interval", 512, "consecutive", "range(512)", tuple(range(512))),
         # clustered: the OR-tree's memoized combos absorb whole clusters,
         # undercutting the window-popmask tier (43 vs 80 quarter-ops/value)
-        ("ortree", 32, tuple(
+        ("ortree", 32, "clustered", "4 runs of 8 at {0,64,128,256}", tuple(
             int(x)
             for x in np.concatenate([b + np.arange(8) for b in (0, 64, 128, 256)])
         )),
-        ("compare", 4, tuple(int(x) for x in (np.arange(4) * 61 + 3) % 512)),
+        ("compare", 4, "spread", "(i*61+3)%512", tuple(
+            int(x) for x in (np.arange(4) * 61 + 3) % 512
+        )),
         # spread sets: previously bit-sliced (k<=32) / domain bitmap
         # (k>=40); the static OR-tree now wins at every k
-        ("ortree", 8, tuple(int(x) for x in (np.arange(8) * 61 + 3) % 512)),
-        ("ortree", 32, tuple(
+        ("ortree", 8, "spread", "(i*61+3)%512", tuple(
+            int(x) for x in (np.arange(8) * 61 + 3) % 512
+        )),
+        ("ortree", 32, "spread", "unique((i*61+3)%512)", tuple(
             int(x) for x in np.unique((np.arange(32) * 61 + 3) % 512)
         )),
-        ("ortree", 100, tuple(
+        ("ortree", 100, "spread", "unique((i*37+11)%512)", tuple(
             int(x) for x in np.unique((np.arange(100) * 37 + 11) % 512)
         )),
-        ("ortree", 256, tuple(int(x) for x in np.arange(256) * 2 + 1)),
+        ("ortree", 256, "strided", "2*i+1 (all odds)", tuple(
+            int(x) for x in np.arange(256) * 2 + 1
+        )),
     ]
 
 
@@ -80,7 +91,7 @@ def main(argv):
     traffic = layout.packed_nbytes(WIDTH, n) + layout.bitvector_words(n) * 4
 
     rows = []
-    for tier, k, keys in cases():
+    for tier, k, kset, kgen, keys in cases():
         got = member_ops.member_dispatch_tier(np.asarray(keys, np.uint32), WIDTH)
         assert got == tier, f"row labelled {tier} but dispatch picks {got}"
         # verify on device before timing (full-count check vs direct compare)
@@ -108,12 +119,13 @@ def main(argv):
         )
         gbs = traffic / meas.seconds / 1e9
         rows.append({
-            "width": WIDTH, "k": k, "tier": tier,
+            "width": WIDTH, "k": k, "tier": tier, "key_set": kset,
+            "key_gen": kgen,
             "ms_per_query": round(meas.millis, 4),
             "gb_per_s_counted": round(gbs, 1),
             "verified": ok, "n": n, "traffic_bytes": traffic,
         })
-        print(f"{tier} k={k}: {gbs:.1f} GB/s counted, "
+        print(f"{tier} k={k} ({kset}): {gbs:.1f} GB/s counted, "
               f"{meas.millis:.3f} ms/query verify={'ok' if ok else 'FAIL'}")
 
     with open(out_path, "w", newline="") as f:

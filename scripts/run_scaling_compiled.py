@@ -1,0 +1,75 @@
+"""Compiled-tier scaling artifact (VERDICT r3 item 6).
+
+Weak-scaling rows for the sharded shared scan with the **compiled XLA
+tier** (no Pallas interpreter) on the virtual 8-device CPU mesh, with
+XLA's intra-op threading pinned to one thread so one virtual device =
+one core and the efficiency column reads as core scaling up to the
+physical core count.  The box has nproc cores; rows past that measure
+oversubscription, not the collective pattern — the note column says
+which regime each row is in.
+
+Usage:
+  python scripts/run_scaling_compiled.py [out.csv] [--per-device=8m]
+"""
+import csv
+import os
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    flags += " --xla_force_host_platform_device_count=8"
+if "xla_cpu_multi_thread_eigen" not in flags:
+    # one thread per device: the efficiency column then measures the
+    # sharding + psum pattern, not the shared intra-op thread pool
+    flags += " --xla_cpu_multi_thread_eigen=false"
+os.environ["XLA_FLAGS"] = flags.strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+
+def main(argv):
+    out_path = "bench_results/scaling_virtual8_cpu_xla.csv"
+    per_device = 8 * 1024 * 1024
+    for a in argv:
+        if a.startswith("--per-device="):
+            from shared_simd_scan_tpu.bench.cli import parse_size
+
+            per_device = parse_size(a.split("=", 1)[1])
+        else:
+            out_path = a
+
+    cores = os.cpu_count() or 1
+    from shared_simd_scan_tpu.bench.scaling import bench_scaling
+
+    results = bench_scaling(
+        per_device_data_size=per_device, reps=3, tier="xla"
+    )
+    with open(out_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow([
+            "devices", "aggregate_bytes_per_s", "efficiency_vs_1dev",
+            "platform", "tier", "note",
+        ])
+        for nd, bps, eff in results:
+            regime = (
+                f"within {cores} physical cores"
+                if nd <= cores
+                else f"oversubscribed {nd}/{cores} devices-per-core bound "
+                f"{cores / nd:.2f}"
+            )
+            w.writerow([
+                nd, round(bps), round(eff, 4), "cpu-virtual-8",
+                "xla-compiled", regime,
+            ])
+    print(f"wrote {out_path} ({len(results)} rows)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

@@ -252,22 +252,38 @@ def chain_windowed_shared_scan(tiles, salt, k, *, width, n, tb, keys_tuple):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
-def chain_linear_shared_scan(tiles, salt, k, *, width, n, tb, kk):
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "kk", "relayout")
+)
+def chain_linear_shared_scan(
+    tiles, salt, k, *, width, n, tb, kk, relayout="dispatch"
+):
     """Linear (interleaved byte) shared-scan chain: the kernel pass plus
-    the XLA relayout to ``out[group*k + key]`` uint8 order
-    (shared_scan_linear_device).  The full output is consumed (sum) so
-    the relayout cannot be narrowed away; pair with
-    chain_linear_baseline_shared_scan (same consume over the native
-    (k, W) layout) to isolate the interleave cost."""
+    the relayout to ``out[group*k + key]`` uint8 order
+    (shared_scan_linear_device — MXU permutation kernel when dispatched).
+    ``relayout``: "dispatch" (production path), "stack" (force the
+    chunked XLA stack formulation), "mxu" (force the MXU kernel).  The
+    full output is consumed (sum) so the relayout cannot be narrowed
+    away; pair with chain_linear_baseline_shared_scan (same consume over
+    the native (k, W) layout) to isolate the interleave cost."""
     from shared_simd_scan_tpu.layout import DeviceColumn
+    from shared_simd_scan_tpu.ops import linear as linear_ops
 
     keys0 = jnp.arange(kk, dtype=jnp.uint32)
 
     def body(i, acc):
         kv = keys0 + ((salt + jnp.uint32(i)) << 16)
         dev = DeviceColumn(width=width, n=n, tiles=tiles)
-        out = scan_ops.shared_scan_linear_device(dev, kv, tb=tb)
+        if relayout == "dispatch":
+            out = scan_ops.shared_scan_linear_device(dev, kv, tb=tb)
+        else:
+            bits, _ = scan_ops.shared_scan_device(dev, kv, tb=tb)
+            fn = (
+                linear_ops.interleave_mxu_tiles
+                if relayout == "mxu"
+                else linear_ops.interleave_xla_stack
+            )
+            out = fn(bits, (n + 7) // 8)
         return acc + jnp.sum(out.astype(jnp.uint32))
 
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
@@ -359,6 +375,49 @@ def chain_aggregate_scan(ptiles, mtiles, salt, k, *, wp, wm, n, tb, kk):
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "wp", "wm", "n", "tb", "kk"))
+def chain_aggregate_bitplane(ptiles, mtiles, salt, k, *, wp, wm, n, tb, kk):
+    """Bit-plane aggregate chain, traced keys (XOR-fold match words)."""
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    keys0 = jnp.arange(kk, dtype=jnp.uint32)
+
+    def body(i, acc):
+        kv = keys0 + ((salt + jnp.uint32(i)) << 16)
+        counts, slo, shi = agg_ops.aggregate_bitplane_tiles(
+            ptiles, mtiles, kv, wp, wm, n, tb=tb
+        )
+        return acc + jnp.sum(counts) + jnp.sum(slo[0, 0].astype(jnp.uint32))
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "wp", "wm", "n", "tb", "keys_tuple")
+)
+def chain_aggregate_bitplane_static(
+    ptiles, mtiles, salt, k, *, wp, wm, n, tb, keys_tuple
+):
+    """Static (AND-DAG) bit-plane aggregate chain: keys are compile-time;
+    distinct submissions come from salting the predicate input."""
+    import numpy as np
+
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def body(i, carry):
+        p, acc = carry
+        p = p.at[0, 0, 0].set(salt + jnp.uint32(i))
+        counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+            p, mtiles, keys, wp, wm, n, tb=tb
+        )
+        return p, acc + jnp.sum(counts) + jnp.sum(slo[0, 0].astype(jnp.uint32))
+
+    _, acc = jax.lax.fori_loop(0, k, body, (ptiles, jnp.uint32(0)))
+    return acc
+
+
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
 def chain_histogram(tiles, salt, k, *, width, n, tb, kk):
     """Counts-only histogram chain (kk keys from lo=0, full domain when
@@ -373,13 +432,18 @@ def chain_histogram(tiles, salt, k, *, width, n, tb, kk):
     return acc
 
 
-@functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
-def chain_histogram_dag(tiles, salt, k, *, width, n, tb, kk):
-    """Shared-AND-DAG histogram chain (the concrete-lo dispatch path)."""
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "kk", "sp")
+)
+def chain_histogram_dag(tiles, salt, k, *, width, n, tb, kk, sp=None):
+    """Shared-AND-DAG histogram chain (the concrete-lo dispatch path);
+    sp forces single-pass (True) / chunked (False) for the fit rows."""
     def body(i, carry):
         t, acc = carry
         t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
-        counts = scan_ops.histogram_dag_tiles(t, 0, kk, width, n, tb=tb)
+        counts = scan_ops.histogram_dag_tiles(
+            t, 0, kk, width, n, tb=tb, single_pass=sp
+        )
         return t, acc + jnp.sum(counts)
 
     _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))

@@ -39,14 +39,33 @@ def _chain_sharded(tiles, keys, salt, k, *, mesh, width, n, interpret):
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 
 
+@functools.partial(jax.jit, static_argnames=("k", "mesh", "width", "n"))
+def _chain_sharded_xla(tiles, keys, salt, k, *, mesh, width, n):
+    def body(i, acc):
+        kv = keys + ((salt + jnp.uint32(i)) << 16)
+        _, cnt = dist._sharded_shared_scan_tiles_xla(
+            tiles, kv, mesh=mesh, width=width, n=n
+        )
+        return acc + cnt[0]
+
+    return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
 def bench_scaling(
     per_device_data_size: int = 64 * 1024 * 1024,
     reps: int = 3,
     k: int = 8,
     width: int = harness.DEFAULT_WIDTH,
+    tier: str = "pallas",
 ):
+    """tier="pallas": the production kernels (interpret-mode when the
+    backend is CPU — protocol demonstration only).  tier="xla": the
+    compiled XLA tier on any backend — the meaningful way to measure the
+    collective pattern on the virtual CPU mesh (compiled execution, no
+    interpreter; pair with single-threaded-eigen XLA_FLAGS so one device
+    = one core and the efficiency column reads as core scaling)."""
     devices = jax.devices()
-    interpret = devices[0].platform == "cpu"
+    interpret = devices[0].platform == "cpu" and tier == "pallas"
     roof1 = harness.hbm_peak_bytes_per_s()
     sizes = []
     d = 1
@@ -60,19 +79,29 @@ def bench_scaling(
         mesh = dist.make_mesh(devices[:nd])
         n = harness.values_for(per_device_data_size * nd, width)
         vals = harness.synth_modk(n, k, width)
-        dev = unpack_ops.pack_device_kernel(vals, width, interpret=interpret)
+        # setup (not timed): the pack kernel runs interpreted on CPU
+        dev = unpack_ops.pack_device_kernel(
+            vals, width, interpret=devices[0].platform == "cpu"
+        )
         sdev = dist.shard_column(dev, mesh)
         keys = jnp.arange(k, dtype=jnp.uint32)
         traffic = layout.packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
-        meas = measure_loop(
-            functools.partial(
+        if tier == "xla":
+            chain = functools.partial(
+                _chain_sharded_xla, mesh=mesh, width=width, n=n
+            )
+        else:
+            chain = functools.partial(
                 _chain_sharded, mesh=mesh, width=width, n=n, interpret=interpret
-            ),
+            )
+        cpu = devices[0].platform == "cpu"
+        meas = measure_loop(
+            chain,
             (sdev.tiles, keys),
             trials=reps,
-            est_iter_s=traffic / (400e9 * nd) if not interpret else None,
-            k_lo=2 if interpret else 8,
-            k_hi=6 if interpret else None,
+            est_iter_s=traffic / (400e9 * nd) if not cpu else None,
+            k_lo=2 if cpu else 8,
+            k_hi=6 if cpu else None,
         )
         bps = traffic / meas.seconds
         if base_bps is None:

@@ -62,6 +62,8 @@ def _load() -> ctypes.CDLL:
         lib.sss_scan.restype = ctypes.c_uint64
         lib.sss_shared_scan.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int,
                                         u32p, ctypes.c_int, u8p, u64p]
+        lib.sss_interleave.argtypes = [u8p, ctypes.c_uint64, ctypes.c_int,
+                                       ctypes.c_uint64, u8p]
         lib.sss_version.restype = ctypes.c_int
         _lib = lib
         return lib
@@ -142,6 +144,29 @@ def shared_scan_bytes(
         [bits[j * stride : (j + 1) * stride].tobytes() for j in range(k)],
         [int(c) for c in counts],
     )
+
+
+def interleave_bytes(bitvectors: np.ndarray, nbytes: int | None = None) -> np.ndarray:
+    """(k, stride) uint8 bitvector payload rows -> linear layout bytes
+    ``out[g*k + j]`` = byte g of row j (AVX2 byte transpose, OpenMP).
+
+    The host half of the linear-export path (reference byte order,
+    simd_scan_shared_linear.cpp:57): fetch the device-native (k, W) match
+    words, view them as (k, stride) bytes, and interleave here instead of
+    paying the device relayout — see ops/linear.py for the device-side
+    alternative and bench_results/linear_v5e_512m.csv for both costs."""
+    lib = _load()
+    bitvectors = np.ascontiguousarray(bitvectors, dtype=np.uint8)
+    if bitvectors.ndim != 2:
+        raise ValueError("bitvectors must be (k, stride) uint8")
+    k, stride = bitvectors.shape
+    if nbytes is None:
+        nbytes = stride
+    if not (0 <= nbytes <= stride):
+        raise ValueError(f"nbytes {nbytes} out of range for stride {stride}")
+    out = np.empty(nbytes * k, dtype=np.uint8)
+    lib.sss_interleave(_u8(bitvectors), stride, k, nbytes, _u8(out))
+    return out
 
 
 def pack_column(values: np.ndarray, width: int):

@@ -1,0 +1,153 @@
+"""Linear (interleaved) output relayout formulations.
+
+The linear layout stores, for every 8-value group g, the k match bytes
+contiguously: out byte ``g*k + j`` = byte g of key j's bitvector (parity
+with the reference's shared_scan_128_linear_standard,
+simd_scan_shared_linear.cpp:9-82).  On TPU the native kernel output is
+(k, W) uint32 words, and the interleave is a word-level perfect shuffle
+(out word m = t*k + c picks stream c = s*(k/4)+h word t) whose
+16-lane -> stride-k lane spread is NOT expressible in Mosaic vector ops
+(three hard-crash modes documented, see scan.shared_scan_linear_device).
+
+This module holds the formulations that ARE expressible, measured
+side-by-side in bench_results/linear_v5e_512m.csv:
+
+1. :func:`interleave_mxu_tiles` — a Pallas kernel that does the byte
+   mixing with SWAPMOVE quads (VPU) and the word permutation on the
+   **MXU**: out tile (tw, 128k) = sum_c dot(z_c byte-plane, P_c) where
+   P_c[e, e*k + c] = 1 is a 0/1 permutation matrix built in-kernel from
+   iota.  Byte planes are <= 255 so bf16 products are exact and every
+   f32 output element receives exactly one nonzero product — bit-exact
+   by construction.  All intermediates stay in VMEM: HBM traffic is the
+   read + write floor.  This is a *fundamentally different* MXU shape
+   from the rejected quadratic-equality matmul (contraction dim 128, not
+   a tiny loop-carried dim).
+2. :func:`interleave_xla_stack` — the pure-XLA relayout
+   (scan._interleave_linear): SWAPMOVE quads + minor-axis stack, chunked
+   to bound the padded intermediates.  The k-minor stack pads 16x on
+   the lane axis; kept as the general-k fallback.
+3. Host AVX2 ``sss_interleave`` (csrc/sss_host.cpp) for callers that
+   want the bytes on the host anyway — see host.interleave_bytes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from shared_simd_scan_tpu.layout import LANES
+
+
+def _mxu_supported(k: int) -> bool:
+    """MXU relayout needs byte quads (k % 4 == 0) and a VMEM-sane output
+    tile (tw, 128k); FLOPs grow as k^2 so past k=16 the XLA stack path
+    wins on compute anyway."""
+    return k % 4 == 0 and 4 <= k <= 16
+
+
+def _interleave_mxu_kernel(in_ref, out_ref, *, k: int, tw: int):
+    """One grid step: (k, tw, 128) bits words -> (tw, 128k) interleaved
+    words (out word f of row R = stream f%k, t = R*128 + f//k)."""
+    from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
+
+    # byte mixing: stream c = s*(k/4) + h word t carries bytes
+    # (group 4t+s, keys 4h..4h+3) — same quad order as the XLA path
+    zs: list = [None] * k
+    for h in range(k // 4):
+        q = _byte_transpose_quad(
+            in_ref[4 * h], in_ref[4 * h + 1], in_ref[4 * h + 2], in_ref[4 * h + 3]
+        )
+        for s in range(4):
+            zs[s * (k // 4) + h] = q[s]
+
+    # word permutation on the MXU, one byte plane at a time.  P_c is
+    # built arithmetically (0/1 int32 from iota distance) — a boolean
+    # compare + select produces a (128, 128k) i1 vector whose layout the
+    # hardware Mosaic cannot relayout to the bf16 operand tiling
+    # (measured rejection: "Non-singleton logical dimension is
+    # replicated in destination but not in source")
+    e = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES * k), 0)
+    f = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES * k), 1)
+    acc = None
+    for p in range(4):
+        accf = None
+        for c in range(k):
+            plane = ((zs[c] >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(
+                jnp.int32
+            ).astype(jnp.bfloat16)
+            d = f - e * k - c
+            pc = (
+                jnp.int32(1) - jnp.minimum(jnp.abs(d), jnp.int32(1))
+            ).astype(jnp.bfloat16)
+            d = jax.lax.dot_general(
+                plane, pc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            accf = d if accf is None else accf + d
+        # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then shift
+        # into byte position p
+        part = accf.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(8 * p)
+        acc = part if acc is None else acc | part
+    out_ref[...] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("nbytes", "tw", "interpret"))
+def interleave_mxu_tiles(
+    bits: jax.Array, nbytes: int, tw: int | None = None, interpret: bool = False
+) -> jax.Array:
+    """(k, W) uint32 bitvectors -> uint8[nbytes * k] linear layout via the
+    MXU permutation kernel.  Requires _mxu_supported(k)."""
+    k, w = bits.shape
+    assert _mxu_supported(k)
+    tw = tw or 64
+    w128 = -(-w // 128)
+    # round the row count so tw divides it; padded rows are sliced off
+    rows = -(-w128 // tw) * tw
+    pad = rows * 128 - w
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
+    inb = bits.reshape(k, rows, 128)
+    out = pl.pallas_call(
+        functools.partial(_interleave_mxu_kernel, k=k, tw=tw),
+        out_shape=jax.ShapeDtypeStruct((rows, 128 * k), jnp.uint32),
+        grid=(rows // tw,),
+        in_specs=[
+            pl.BlockSpec(
+                (k, tw, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (tw, 128 * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(inb)
+    return jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(-1)[: nbytes * k]
+
+
+def interleave_xla_stack(bits: jax.Array, nbytes: int) -> jax.Array:
+    """The pure-XLA relayout (scan._interleave_linear) — general-k
+    fallback and the measurement-table baseline."""
+    from shared_simd_scan_tpu.ops.scan import _interleave_linear
+
+    return _interleave_linear(bits, nbytes)
+
+
+def interleave_device(
+    bits: jax.Array, nbytes: int, interpret: bool = False
+) -> jax.Array:
+    """Dispatch: MXU permutation kernel where legal (k % 4 == 0,
+    4 <= k <= 16), XLA stack otherwise."""
+    k = int(bits.shape[0])
+    if _mxu_supported(k):
+        return interleave_mxu_tiles(bits, nbytes, interpret=interpret)
+    return interleave_xla_stack(bits, nbytes)
+
+
+__all__ = [
+    "interleave_mxu_tiles",
+    "interleave_xla_stack",
+    "interleave_device",
+]

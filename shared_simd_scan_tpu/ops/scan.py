@@ -394,19 +394,23 @@ def shared_scan_linear_device(
     Byte layout ``out[group*k + key_id]`` for 8-value groups — parity with
     shared_scan_128_linear_standard (simd_scan_shared_linear.cpp:57).  On
     TPU the (k, W) layout is the native efficient one; the interleave is
-    an XLA relayout of the kernel output (the reference needed a separate
-    kernel only because its outputs stream straight to DRAM).  A Pallas
-    relayout kernel was prototyped and is NOT shippable on this stack:
-    the required 16-lane -> stride-8 lane spread crashes the hardware
-    Mosaic compiler in every expressible form (strided store to a
+    a relayout of the kernel output (the reference needed a separate
+    kernel only because its outputs stream straight to DRAM).  The
+    16-lane -> stride-8 lane spread the relayout needs crashes the
+    hardware Mosaic compiler in every VECTOR-op form (strided store to a
     non-128-minor memref, in-kernel jnp.repeat, minor-dim-merge reshape,
     16-lane sliced strided stores) even though jax.export lowering
-    accepts some of them — see bench_results/linear_v5e_512m.csv for the
-    measured relayout cost.
+    accepts some of them — but it IS expressible on the MXU as a
+    permutation matmul (ops/linear.py, interleave_mxu_tiles), which is
+    the dispatched path for k % 4 == 0; other k fall back to the chunked
+    XLA stack relayout.  Measured costs for every formulation:
+    bench_results/linear_v5e_512m.csv.
     """
+    from shared_simd_scan_tpu.ops.linear import interleave_device
+
     keys = jnp.asarray(keys, jnp.uint32)
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)  # (k, W)
-    return _interleave_linear(bits, (dev.n + 7) // 8)
+    return interleave_device(bits, (dev.n + 7) // 8, interpret=interpret)
 
 
 def popcount_bits(bits: jax.Array) -> jax.Array:
@@ -1094,6 +1098,92 @@ def _histogram_dag_tiles_impl(
     return counts[:k]
 
 
+def _histogram_span_kernel(
+    off_ref, in_ref, cnt_ref, *, width, tb, n, lo, k
+):
+    """Single-pass counts-only AND-DAG kernel for a consecutive key span:
+    ALL k rows in one straight-line body (no chunk grid dimension, no
+    predicated branches).
+
+    Counts-only makes this shape viable where the bits-producing kernel
+    must chunk: each key row is popcounted and stored IMMEDIATELY, so in
+    ascending-key DFS order the live set is one root-to-leaf path of
+    memoized subtrees (~width vectors, measured by _static_dag_liveness)
+    — not k rows.  The validity word is computed unconditionally and
+    ANDed into every row (one op per key) instead of the usual
+    masked/unmasked pl.when split, which would have duplicated the whole
+    k-key body into both branches."""
+    i = pl.program_id(0)
+    vs = [v for _, v in _unpack_block_values(in_ref, width)]
+    planes = _transpose_bitplanes(vs, width)
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+    valid = jnp.where(
+        blk < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(blk == full, jnp.uint32((1 << rem) - 1 if rem else 0),
+                  jnp.uint32(0)),
+    )
+    dom = 1 << width
+    zero = jnp.zeros((tb, LANES), jnp.uint32)
+    memo: dict = {}
+    for j in range(k):
+        key = lo + j
+        row = _combo(planes, 0, width, key, memo) if key < dom else zero
+        w = row & valid
+        cnt_ref[0, j] = jnp.sum(
+            jax.lax.population_count(w).astype(jnp.int32), axis=0
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lo", "k", "width", "n", "tb", "interpret")
+)
+def _histogram_span_tiles_impl(
+    tiles, lo: int, k: int, width, n, tb, interpret, block_offset
+):
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    live = _static_dag_liveness(width, tuple(range(lo, lo + k)))
+    # in (double-buffered) + planes + transpose transients + DFS live set
+    # + Mosaic headroom (same 64-vec rule as the bits kernel)
+    per_tb = 512 * (2 * width + width + 40 + live + 64)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    cnt = pl.pallas_call(
+        functools.partial(
+            _histogram_span_kernel, width=width, tb=tb, n=n, lo=lo, k=k
+        ),
+        out_shape=jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        grid=(b1 // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(off, tiles)
+    return jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+
+
+def histogram_span_partials_nbytes(
+    b1: int, width: int, k: int, tb: int | None = None, lo: int = 0
+) -> int:
+    """Partials bytes for the single-pass span kernel."""
+    live = _static_dag_liveness(width, tuple(range(lo, lo + k)))
+    per_tb = 512 * (2 * width + width + 40 + live + 64)
+    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb = _pick_tb(b1, tb if tb is not None else tb_auto)
+    return (b1 // tb) * k * LANES * 4
+
+
 def histogram_dag_tiles(
     tiles: jax.Array,
     lo: int,
@@ -1103,17 +1193,30 @@ def histogram_dag_tiles(
     tb: int | None = None,
     interpret: bool = False,
     block_offset: jax.Array | int = 0,
+    single_pass: bool | None = None,
 ) -> jax.Array:
     """Histogram via the shared AND-DAG (CONCRETE lo): counts for keys
-    lo..lo+k-1 with the whole consecutive chunk sharing one memoized
-    subtree — counted 430 ops per 32 values at k=32 vs 840 for the
-    mask-window kernel, 2740 vs 13440 at k=512 (4.9x).  Chunk branches
-    per pallas_call capped at 8 via _static_group_sizes; each extra
-    group is another read pass over the packed column (cheap next to
-    the VPU saving)."""
+    lo..lo+k-1 with the whole consecutive span sharing one memoized
+    subtree.
+
+    k > 48 dispatches to the SINGLE-PASS span kernel
+    (:func:`_histogram_span_kernel`): one straight-line body computes all
+    k rows per tile — fewer counted ops than the 32-key-chunk form (the
+    chunk split re-pays subtree roots across chunks) and ~20x fewer grid
+    steps (the k=512 chunked form ran ~19.5k steps; at the measured
+    0.7-1 us/step overhead that alone was ~half its 15.7 ms).  k <= 48
+    keeps the chunked kernel (one small chunk, same thing).  Pass
+    ``single_pass=False`` to force the chunked form (measured
+    side-by-side in bench_results/op_fit_v5e.csv)."""
     if not (1 <= k <= 4096):
         raise ValueError(f"histogram supports 1 <= k <= 4096, got {k}")
     lo_i = int(lo)
+    if single_pass is None:
+        single_pass = k > 48
+    if single_pass:
+        return _histogram_span_tiles_impl(
+            tiles, lo_i, k, width, n, tb, interpret, block_offset
+        )
     parts = []
     g0 = 0
     for g in _static_group_sizes(k):
@@ -1715,6 +1818,9 @@ class _CountVec:
 
     __and__ = _op
     __or__ = _op
+    __xor__ = _op
+    __lshift__ = _op
+    __rshift__ = _op
 
     def __invert__(self):
         return self._op()

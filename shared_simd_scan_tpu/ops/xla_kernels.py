@@ -53,18 +53,22 @@ def unpack_tiles_xla(tiles: jax.Array, width: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("width", "n"))
 def shared_scan_tiles_xla(
-    tiles: jax.Array, keys: jax.Array, width: int, n: int
+    tiles: jax.Array, keys: jax.Array, width: int, n: int,
+    block_offset: jax.Array | int = 0,
 ) -> tuple[jax.Array, jax.Array]:
     """tiles uint32[width, B1, 128], keys uint32[k] ->
     (bits uint32[k, B1, 128], counts int32[k]) — identical contract to
-    ops.scan.shared_scan_tiles."""
+    ops.scan.shared_scan_tiles (block_offset: first global block id of
+    this tile range, for sharded callers' validity masks)."""
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     k = int(keys.shape[0])
     keys = keys.astype(jnp.uint32)
 
     full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
-    g = jnp.arange(b1 * LANES, dtype=jnp.int32).reshape(b1, LANES)
+    g = jnp.asarray(block_offset, jnp.int32) + jnp.arange(
+        b1 * LANES, dtype=jnp.int32
+    ).reshape(b1, LANES)
     valid = jnp.where(
         g < full,
         jnp.uint32(0xFFFFFFFF),

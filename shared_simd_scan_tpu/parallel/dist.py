@@ -156,6 +156,34 @@ def _sharded_shared_scan_tiles(
     )(tiles, keys)
 
 
+@functools.partial(jax.jit, static_argnames=("mesh", "width", "n"))
+def _sharded_shared_scan_tiles_xla(
+    tiles, keys, *, mesh, width, n
+) -> tuple[jax.Array, jax.Array]:
+    """XLA-tier sharded shared scan (no Pallas): the portable compiled
+    path for any backend, and the tier the CPU scaling artifact times —
+    interpret-mode Pallas throughput says nothing about the collective
+    pattern, compiled XLA does (bench/scaling.py, VERDICT r3 item 6)."""
+    from shared_simd_scan_tpu.ops import xla_kernels
+
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, keys_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        bits, cnt = xla_kernels.shared_scan_tiles_xla(
+            tiles_l, keys_l, width, n, block_offset=off
+        )
+        return bits, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=(P(None, DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, keys)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),

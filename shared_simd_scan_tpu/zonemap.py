@@ -33,10 +33,12 @@ import functools
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from shared_simd_scan_tpu.layout import BLOCK_VALUES, LANES, DeviceColumn
 from shared_simd_scan_tpu.ops import scan as scan_ops
-from shared_simd_scan_tpu.ops.unpack import unpack_tiles
+from shared_simd_scan_tpu.ops.unpack import _pick_tb, _unpack_block_values, unpack_tiles
 
 
 @dataclasses.dataclass(frozen=True)
@@ -254,6 +256,210 @@ def pruned_range_scan(
     return None, cnt[0]
 
 
+# ---------------------------------------------------------------------------
+# Per-block gating: the gather-grid zoned scan
+# ---------------------------------------------------------------------------
+#
+# prune_span covers ONE contiguous span, so a clustered-but-unsorted
+# column (matching zones scattered through the file) degrades to a full
+# scan.  Real zone maps prune per block; on TPU the per-block skip must
+# remove the input DMA, not just the compute — a pl.when around the body
+# would still fetch every block.  The gather grid does it: the grid runs
+# over LIVE tb-steps only, and a scalar-prefetched index array routes
+# each grid step's input/output DMA to its block-row tile
+# (PrefetchScalarGridSpec index_map — the DMA for pruned tiles never
+# happens).  Match bits land scattered in a pre-zeroed full buffer via
+# input/output aliasing; count partials are compact per grid step with a
+# liveness flag zeroing the padded tail steps (the live count is bucketed
+# to a power of two so moving/varying zones reuses a handful of compiled
+# programs, same discipline as prune_span).
+
+
+def zone_step_mask(zmap: ZoneMap, lo: int, hi: int, tb: int) -> np.ndarray:
+    """Per-tb-step liveness: step s (block-rows [s*tb, (s+1)*tb)) is live
+    iff any overlapping zone intersects [lo, hi)."""
+    hit = (zmap.zmax.astype(np.uint64) >= lo) & (
+        zmap.zmin.astype(np.uint64) < hi
+    )
+    steps = zmap.b1 // tb
+    live = np.zeros(steps, bool)
+    for s in range(steps):
+        zf = (s * tb) // zmap.zone_b1
+        zl = ((s + 1) * tb - 1) // zmap.zone_b1
+        live[s] = bool(hit[zf : zl + 1].any())
+    return live
+
+
+def _zoned_range_kernel(
+    idx_ref, flag_ref, lohi_ref, in_ref, dst_ref, bits_ref, cnt_ref, *,
+    width, k, tb, n,
+):
+    i = pl.program_id(0)
+    del dst_ref  # aliased to bits_ref; present only to donate the buffer
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    row = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    g = (idx_ref[i] * tb + row) * LANES + lane
+    valid = jnp.where(
+        g < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(g == full, jnp.uint32((1 << rem) - 1 if rem else 0), jnp.uint32(0)),
+    )
+    live = flag_ref[i] == 1
+
+    accs = [jnp.zeros((tb, LANES), jnp.uint32) for _ in range(k)]
+    for r, v in _unpack_block_values(in_ref, width):
+        bit = jnp.uint32(1 << r)
+        for j in range(k):
+            inside = (v - lohi_ref[j, 0]) < (lohi_ref[j, 1] - lohi_ref[j, 0])
+            accs[j] = accs[j] | jnp.where(inside, bit, jnp.uint32(0))
+
+    for j in range(k):
+        w = accs[j] & valid
+        bits_ref[j] = w
+        # padded tail steps revisit a live tile (same bits, idempotent)
+        # but must not double-count
+        cnt_ref[0, j] = jnp.where(
+            live,
+            jnp.sum(jax.lax.population_count(w).astype(jnp.int32), axis=0),
+            jnp.zeros((LANES,), jnp.int32),
+        )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "width", "n", "tb", "interpret")
+)
+def _zoned_range_tiles(
+    tiles, idx, flag, lows, highs, *, g, width, n, tb, interpret
+):
+    """Gather-grid pruned range scan -> ((k, B1, 128) bits with pruned
+    blocks zero, (k,) counts).  idx/flag are the (g,) live-step routing
+    arrays (padded with repeats of a live step, flag 0)."""
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = int(lows.shape[0])
+    lohi = jnp.stack(
+        [lows.astype(jnp.uint32), highs.astype(jnp.uint32)], axis=1
+    )
+    dst = jnp.zeros((k, b1, LANES), jnp.uint32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec((k, 2), lambda i, idx, flag: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((width, tb, LANES),
+                         lambda i, idx, flag: (0, idx[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, tb, LANES), lambda i, idx, flag: (0, idx[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, LANES), lambda i, idx, flag: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+    )
+    bits, cnt = pl.pallas_call(
+        functools.partial(_zoned_range_kernel, width=width, k=k, tb=tb, n=n),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((k, b1, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((g, k, LANES), jnp.int32),
+        ),
+        input_output_aliases={4: 0},  # dst (5th operand incl. prefetch) -> bits
+        interpret=interpret,
+    )(idx, flag, lohi, tiles, dst)
+    return bits, jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "width", "n", "tb", "interpret")
+)
+def _zoned_range_canonical(
+    tiles, idx, flag, lows, highs, *, g, width, n, tb, interpret
+):
+    bits, cnt = _zoned_range_tiles(
+        tiles, idx, flag, lows, highs,
+        g=g, width=width, n=n, tb=tb, interpret=interpret,
+    )
+    return scan_ops.bits_to_canonical(bits, n)[0], cnt[0]
+
+
+def zoned_range_scan(
+    dev: DeviceColumn,
+    zmap: ZoneMap,
+    lo: int,
+    hi: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    full_bits: bool = True,
+):
+    """Range scan [lo, hi) with PER-BLOCK zone gating -> (canonical
+    bitvector words (W,) when full_bits else None, count uint32 scalar).
+
+    Unlike :func:`pruned_range_scan` (single contiguous span) this prunes
+    every dead tb-step independently, so clustered-but-UNSORTED columns
+    keep their skipping (matching zones at both file ends no longer force
+    a full scan).  Falls back to the dense range kernel when >= half the
+    steps are live (the gather adds nothing there)."""
+    _, b1, _ = dev.tiles.shape
+    W = (dev.n + 31) // 32
+    tb = _pick_tb(b1, tb if tb is not None else 256)
+    live = zone_step_mask(zmap, lo, hi, tb)
+    lows = jnp.asarray([lo], jnp.uint32)
+    highs = jnp.asarray([hi], jnp.uint32)
+    nlive = int(live.sum())
+    if nlive == 0:
+        bits = jnp.zeros((W,), jnp.uint32) if full_bits else None
+        return bits, jnp.uint32(0)
+    if 2 * nlive >= live.shape[0]:
+        if full_bits:
+            return _full_range_canonical(
+                dev.tiles, lows, highs, width=dev.width, n=dev.n, tb=tb,
+                interpret=interpret,
+            )
+        _, cnt = scan_ops.range_scan_tiles(
+            dev.tiles, lows, highs, dev.width, dev.n, tb=tb,
+            interpret=interpret,
+        )
+        return None, cnt[0]
+    g = 1
+    while g < nlive:
+        g *= 2
+    ids = np.nonzero(live)[0].astype(np.int32)
+    idx = np.concatenate([ids, np.full(g - nlive, ids[-1], np.int32)])
+    flag = np.concatenate(
+        [np.ones(nlive, np.int32), np.zeros(g - nlive, np.int32)]
+    )
+    idxj, flagj = jnp.asarray(idx), jnp.asarray(flag)
+    if full_bits:
+        return _zoned_range_canonical(
+            dev.tiles, idxj, flagj, lows, highs,
+            g=g, width=dev.width, n=dev.n, tb=tb, interpret=interpret,
+        )
+    _, cnt = _zoned_range_tiles(
+        dev.tiles, idxj, flagj, lows, highs,
+        g=g, width=dev.width, n=dev.n, tb=tb, interpret=interpret,
+    )
+    return None, cnt[0]
+
+
+def zoned_eq_scan(
+    dev: DeviceColumn,
+    zmap: ZoneMap,
+    key: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    full_bits: bool = True,
+):
+    """Equality scan with per-block zone gating: range [key, key+1)."""
+    return zoned_range_scan(
+        dev, zmap, int(key), int(key) + 1, tb=tb, interpret=interpret,
+        full_bits=full_bits,
+    )
+
+
 def pruned_eq_scan(
     dev: DeviceColumn,
     zmap: ZoneMap,
@@ -272,7 +478,11 @@ def pruned_eq_scan(
 __all__ = [
     "ZoneMap",
     "build_zonemap",
+    "build_zonemap_from_values",
     "prune_span",
+    "zone_step_mask",
     "pruned_range_scan",
     "pruned_eq_scan",
+    "zoned_range_scan",
+    "zoned_eq_scan",
 ]

@@ -69,6 +69,122 @@ def test_aggregate_split_headroom_wide_measure():
     assert int(sums[0]) == n * ((1 << 31) - 1)  # ~1.07e14, needs uint64
 
 
+@pytest.mark.parametrize("wp,wm", [(9, 9), (9, 16), (5, 17), (9, 31), (31, 12)])
+def test_aggregate_bitplane_static_parity_vs_numpy(wp, wm):
+    n = 30_000
+    p, m, pcol, mcol = _cols(wp, wm, n, seed=wp * 19 + wm)
+    pdev, mdev = layout.to_device(pcol), layout.to_device(mcol)
+    keys = np.unique(
+        np.random.default_rng(2).integers(0, 1 << wp, 12).astype(np.uint32)
+    )
+    counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+        pdev.tiles, mdev.tiles, keys, wp, wm, n, interpret=True
+    )
+    sums = agg_ops.finalize_sums(slo, shi)
+    esums = np.array(
+        [m[p == k].astype(np.uint64).sum() for k in keys], np.uint64
+    )
+    ecounts = np.array([(p == k).sum() for k in keys], np.uint32)
+    np.testing.assert_array_equal(np.asarray(counts), ecounts)
+    np.testing.assert_array_equal(sums, esums)
+
+
+@pytest.mark.parametrize("wp,wm", [(9, 9), (9, 16), (9, 31)])
+def test_aggregate_bitplane_traced_parity_vs_numpy(wp, wm):
+    n = 20_000
+    p, m, pcol, mcol = _cols(wp, wm, n, seed=wp * 7 + wm)
+    pdev, mdev = layout.to_device(pcol), layout.to_device(mcol)
+    keys = np.unique(
+        np.random.default_rng(3).integers(0, 1 << wp, 9).astype(np.uint32)
+    )
+    counts, slo, shi = agg_ops.aggregate_bitplane_tiles(
+        pdev.tiles, mdev.tiles, jnp.asarray(keys), wp, wm, n, interpret=True
+    )
+    sums = agg_ops.finalize_sums(slo, shi)
+    esums = np.array(
+        [m[p == k].astype(np.uint64).sum() for k in keys], np.uint64
+    )
+    ecounts = np.array([(p == k).sum() for k in keys], np.uint32)
+    np.testing.assert_array_equal(np.asarray(counts), ecounts)
+    np.testing.assert_array_equal(sums, esums)
+
+
+def test_aggregate_bitplane_key_zero_ignores_padding():
+    # padding blocks hold p=0, m=0; key-0 match words must be masked
+    wp, wm, n = 9, 9, 4_099  # ragged tail
+    p, m, pcol, mcol = _cols(wp, wm, n, seed=6)
+    pdev, mdev = layout.to_device(pcol), layout.to_device(mcol)
+    keys = np.array([0], np.uint32)
+    counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+        pdev.tiles, mdev.tiles, keys, wp, wm, n, interpret=True
+    )
+    assert int(counts[0]) == int((p == 0).sum())
+    assert int(agg_ops.finalize_sums(slo, shi)[0]) == int(
+        m[p == 0].astype(np.uint64).sum()
+    )
+
+
+def test_aggregate_bitplane_out_of_domain_key():
+    wp, wm, n = 5, 9, 8_000
+    p, m, pcol, mcol = _cols(wp, wm, n, seed=7)
+    pdev, mdev = layout.to_device(pcol), layout.to_device(mcol)
+    keys = np.array([3, 1 << wp, 0xFFFFFFFF], np.uint32)
+    counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+        pdev.tiles, mdev.tiles, keys, wp, wm, n, interpret=True
+    )
+    sums = agg_ops.finalize_sums(slo, shi)
+    assert int(counts[0]) == int((p == 3).sum())
+    assert int(sums[0]) == int(m[p == 3].astype(np.uint64).sum())
+    assert int(counts[1]) == 0 and int(counts[2]) == 0
+    assert int(sums[1]) == 0 and int(sums[2]) == 0
+
+
+def test_aggregate_bitplane_split_headroom_wide_measure():
+    # wm=31 adversarial: every value max, all matching one key — exercises
+    # the lo/hi popcount accumulators at their provable headroom bound
+    wp, wm, n = 3, 31, 50_000
+    p = np.full(n, 5, np.uint32)
+    m = np.full(n, (1 << 31) - 1, np.uint32)
+    pdev = layout.to_device(layout.pack(p, wp))
+    mdev = layout.to_device(layout.pack(m, wm))
+    counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+        pdev.tiles, mdev.tiles, np.array([5], np.uint32), wp, wm, n,
+        interpret=True,
+    )
+    assert int(counts[0]) == n
+    assert int(agg_ops.finalize_sums(slo, shi)[0]) == n * ((1 << 31) - 1)
+
+
+def test_aggregate_dispatch_crossover():
+    # small k stays on select-accumulate, large k flips to bit-plane, and
+    # the costs agree with the tier picked
+    assert agg_ops.pick_aggregate_tier(9, 16, np.array([1], np.uint32)) == "compare"
+    big = np.arange(32, dtype=np.uint32)
+    assert agg_ops.pick_aggregate_tier(9, 16, big) == "bitplane"
+    assert agg_ops.aggregate_bitplane_cost(9, 16, big) < agg_ops._agg_compare_cost(
+        9, 16, 32
+    )
+
+
+def test_aggregate_device_dispatch_parity():
+    # the device entry point must return identical results on either side
+    # of the crossover (routes through pick_aggregate_tier)
+    wp, wm, n = 9, 16, 25_000
+    p, m, pcol, mcol = _cols(wp, wm, n, seed=8)
+    pdev, mdev = layout.to_device(pcol), layout.to_device(mcol)
+    for k in (1, 2, 24, 32):
+        keys = np.random.default_rng(k).permutation(1 << wp)[:k].astype(np.uint32)
+        sums, counts = agg_ops.aggregate_scan_device(
+            pdev, mdev, keys, interpret=True
+        )
+        esums = np.array(
+            [m[p == kk].astype(np.uint64).sum() for kk in keys], np.uint64
+        )
+        ecounts = np.array([(p == kk).sum() for kk in keys], np.uint32)
+        np.testing.assert_array_equal(np.asarray(counts), ecounts)
+        np.testing.assert_array_equal(sums, esums)
+
+
 @pytest.mark.parametrize("wp,wm", [(9, 9), (9, 31), (16, 12)])
 def test_minmax_parity_vs_numpy(wp, wm):
     n = 20_000

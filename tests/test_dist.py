@@ -193,3 +193,20 @@ def test_multiprocess_collectives_demo():
     )
     assert out.returncode == 0, out.stdout + out.stderr
     assert "multiproc demo: OK" in out.stdout
+
+
+def test_sharded_shared_scan_xla_parity(mesh):
+    # the compiled (no-Pallas) tier the scaling artifact times: validity
+    # masks must be offset per shard (ragged n lands mid-shard)
+    width, k, n = 9, 4, 70_003
+    vals, col = _col(width, n, seed=21)
+    sdev = dist.shard_column(layout.to_device(col), mesh)
+    keys = np.arange(k, dtype=np.uint32)
+    bits, counts = dist._sharded_shared_scan_tiles_xla(
+        sdev.tiles, jax.numpy.asarray(keys), mesh=mesh, width=width, n=n
+    )
+    obits, ocounts = oracle.shared_scan(col, keys)
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ocounts))
+    np.testing.assert_array_equal(
+        np.asarray(bits_to_canonical(bits, n)), np.asarray(obits)
+    )

@@ -69,3 +69,37 @@ def test_pack_column_into_device_pipeline():
     vals = rng.integers(0, 1 << width, n, dtype=np.uint32)
     col = host.pack_column(vals, width)
     np.testing.assert_array_equal(np.asarray(oracle.unpack(col)), vals)
+
+
+def test_interleave_bytes_matches_numpy():
+    if not host.available():
+        pytest.skip("host lib unavailable")
+    rng = np.random.default_rng(11)
+    # k=8 AVX2 16B-store path, k=16 8B-store path, k=5 scalar path,
+    # ragged nbytes (sub-32-group tails) on each
+    for k, stride, nbytes in (
+        (8, 9000, 9000), (8, 100, 97), (16, 5000, 4999), (5, 300, 300),
+        (8, 40, 3), (24, 70, 65),
+    ):
+        rows = rng.integers(0, 256, size=(k, stride), dtype=np.uint8)
+        got = host.interleave_bytes(rows, nbytes)
+        exp = rows[:, :nbytes].T.reshape(-1)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_interleave_bytes_linear_parity_vs_oracle():
+    if not host.available():
+        pytest.skip("host lib unavailable")
+    # end-to-end: host shared scan -> interleave == oracle linear layout
+    from shared_simd_scan_tpu.ops import oracle
+
+    width, n, k = 9, 10_000, 8
+    rng = np.random.default_rng(12)
+    vals = rng.integers(0, 1 << width, n, dtype=np.uint32)
+    keys = rng.permutation(1 << width)[:k].astype(np.uint32)
+    col = layout.pack(vals, width)
+    payload, counts = host.shared_scan_bytes(col.to_bytes(), n, width, keys)
+    rows = np.stack([np.frombuffer(b, np.uint8) for b in payload])
+    got = host.interleave_bytes(rows, (n + 7) // 8)
+    exp = np.asarray(oracle.shared_scan_linear(col, keys))
+    np.testing.assert_array_equal(got, exp)

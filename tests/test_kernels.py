@@ -492,6 +492,40 @@ def test_interleave_linear_fast_path_matches_fallback():
         np.testing.assert_array_equal(got, exp)
 
 
+def test_interleave_mxu_matches_byte_oracle():
+    # the MXU permutation relayout (ops/linear.py) must be bit-exact vs
+    # the plain byte-transpose at every supported k, including ragged
+    # word counts (row padding sliced off) and full-range word values
+    # (bf16 byte-plane exactness)
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(9)
+    for k, w in ((4, 257), (8, 1024), (12, 77), (16, 130), (8, 9_000)):
+        bits = rng.integers(0, 2**32, size=(k, w), dtype=np.uint32)
+        nbytes = w * 4 - 3
+        got = np.asarray(
+            linear_ops.interleave_mxu_tiles(
+                jnp.asarray(bits), nbytes, interpret=True
+            )
+        )
+        exp = bits.view(np.uint8).reshape(k, -1)[:, :nbytes].T.reshape(-1)
+        np.testing.assert_array_equal(got, exp)
+
+
+def test_interleave_device_dispatch_matches_fallback():
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(10)
+    for k in (3, 6, 8, 20):  # non-multiple-of-4 and >16 take the XLA path
+        bits = rng.integers(0, 2**32, size=(k, 300), dtype=np.uint32)
+        nbytes = 300 * 4 - 1
+        got = np.asarray(
+            linear_ops.interleave_device(jnp.asarray(bits), nbytes, interpret=True)
+        )
+        exp = bits.view(np.uint8).reshape(k, -1)[:, :nbytes].T.reshape(-1)
+        np.testing.assert_array_equal(got, exp)
+
+
 def test_static_group_sizes_branch_cap():
     # every per-pallas_call key group must chunk into <= 8 predicated
     # branches under _static_krows (Mosaic collapses past 8 — measured

@@ -408,3 +408,63 @@ def test_lower_zonemap_pruned_scan(dev):
     export_tpu(
         f, tiles_aval(dev), jax.ShapeDtypeStruct((), jnp.int32)
     )
+
+
+@pytest.mark.parametrize("k", [4, 8, 16])
+def test_lower_interleave_mxu(dev, k):
+    """MXU permutation relayout: iota-built 0/1 matrices + bf16 dots."""
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    W = layout.bitvector_words(N)
+
+    def f(bits):
+        return linear_ops.interleave_mxu_tiles(bits, (N + 7) // 8)
+
+    export_tpu(f, jax.ShapeDtypeStruct((k, W), jnp.uint32))
+
+
+@pytest.mark.parametrize("wm", [9, 16, 31])
+def test_lower_aggregate_bitplane_static(dev, wm):
+    vals = (np.arange(N, dtype=np.uint32) * 11 + 1) & ((1 << wm) - 1)
+    mdev = layout.pack_device(vals, wm)
+    keys = tuple(int(x) for x in spread_keys(12))
+
+    def f(ptiles, mtiles):
+        return agg_ops.aggregate_bitplane_static_tiles(
+            ptiles, mtiles, keys, WIDTH, wm, N
+        )
+
+    export_tpu(f, tiles_aval(dev), tiles_aval(mdev))
+
+
+def test_lower_aggregate_bitplane_traced(dev):
+    def f(ptiles, mtiles, keys):
+        return agg_ops.aggregate_bitplane_tiles(
+            ptiles, mtiles, keys, WIDTH, WIDTH, N
+        )
+
+    export_tpu(
+        f, tiles_aval(dev), tiles_aval(dev),
+        jax.ShapeDtypeStruct((12,), jnp.uint32),
+    )
+
+
+def test_lower_zoned_range_scan(dev):
+    """Gather-grid zoned scan: scalar-prefetch index maps + io-aliased
+    full bits buffer (hardware drive remains the authority)."""
+    from shared_simd_scan_tpu import zonemap as zm
+
+    g = 4
+
+    def f(tiles, idx, flag):
+        return zm._zoned_range_tiles(
+            tiles, idx, flag,
+            jnp.asarray([5], jnp.uint32), jnp.asarray([9], jnp.uint32),
+            g=g, width=WIDTH, n=N, tb=8, interpret=False,
+        )
+
+    export_tpu(
+        f, tiles_aval(dev),
+        jax.ShapeDtypeStruct((g,), jnp.int32),
+        jax.ShapeDtypeStruct((g,), jnp.int32),
+    )

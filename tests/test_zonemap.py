@@ -142,3 +142,57 @@ def test_zonemap_from_values_matches_device_build(n):
     np.testing.assert_array_equal(zdev.zmin, zval.zmin)
     np.testing.assert_array_equal(zdev.zmax, zval.zmax)
     assert zdev.zone_b1 == zval.zone_b1 and zdev.b1 == zval.b1
+
+
+def _zcheck(vals, dev, zmap, lo, hi, tb=None):
+    bits, cnt = zonemap.zoned_range_scan(dev, zmap, lo, hi, tb=tb, interpret=True)
+    mask = (vals >= lo) & (vals < hi)
+    assert int(cnt) == int(mask.sum()), (lo, hi)
+    got = np.asarray(bitvector.to_bool(bits, dev.n))
+    np.testing.assert_array_equal(got, mask)
+
+
+def test_zoned_scan_clustered_unsorted():
+    # matching values clustered at BOTH file ends: prune_span degrades to
+    # a (near-)full span, the gather grid keeps per-block skipping
+    width, n = 9, 9 * 8 * 128 * 32  # b1 = 72 rows worth at w=9... n values
+    rng = np.random.default_rng(5)
+    vals = rng.integers(100, 200, size=n, dtype=np.uint32)
+    vals[: 4096 * 8] = 7          # first zone rows
+    vals[-4096 * 8 :] = 7         # last zone rows
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    # the single-span pruner must cover ~the whole column here
+    s, span = zonemap.prune_span(zmap, 7, 8)
+    assert span >= zmap.b1 // 2
+    # the gather grid sees only the two end clusters
+    live = zonemap.zone_step_mask(zmap, 7, 8, 8)
+    assert live[0] and live[-1] and not live[1:-1].any()
+    _zcheck(vals, dev, zmap, 7, 8, tb=8)
+    _zcheck(vals, dev, zmap, 150, 160, tb=8)   # dense -> fallback path
+    _zcheck(vals, dev, zmap, 300, 400, tb=8)   # nothing matches
+
+
+def test_zoned_scan_ragged_tail_and_padding():
+    width, n = 9, 70_003  # ragged: validity tail mid-step
+    rng = np.random.default_rng(6)
+    vals = rng.integers(0, 1 << width, size=n, dtype=np.uint32)
+    vals[n - 10 :] = 3
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    _zcheck(vals, dev, zmap, 3, 4, tb=8)
+
+
+def test_zoned_scan_padded_grid_steps_do_not_double_count():
+    # 3 live steps -> g=4: the padded step revisits a live tile; counts
+    # must not change
+    width, n = 9, 9 * 8 * 128 * 32
+    rng = np.random.default_rng(7)
+    vals = rng.integers(100, 200, size=n, dtype=np.uint32)
+    for z in (0, 16, 64):  # three separated zones of key 9 (block rows)
+        vals[z * 4096 : (z + 8) * 4096] = 9
+    dev = layout.pack_device(jnp.asarray(vals), width)
+    zmap = zonemap.build_zonemap(dev, zone_b1=8, interpret=True)
+    live = zonemap.zone_step_mask(zmap, 9, 10, 8)
+    assert int(live.sum()) == 3
+    _zcheck(vals, dev, zmap, 9, 10, tb=8)
