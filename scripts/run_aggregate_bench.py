@@ -35,7 +35,13 @@ from shared_simd_scan_tpu.ops import aggregate as agg_ops  # noqa: E402
 from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 WP = 9
-CASES = [(9, 8), (16, 8), (16, 32)]  # (measure width, k)
+# (measure width, k, tier): compare = select-accumulate kernel; bitplane
+# = per-plane popcount tier (static AND-DAG match words; the dispatch
+# winner past the counted-cost crossover, see aggregate.pick_aggregate_tier)
+CASES = [
+    (9, 8, "compare"), (16, 8, "compare"), (16, 32, "compare"),
+    (16, 8, "bitplane"), (16, 32, "bitplane"), (9, 8, "bitplane"),
+]
 
 
 def main(argv):
@@ -56,7 +62,7 @@ def main(argv):
     del pvals
 
     rows = []
-    for wm, kk in CASES:
+    for wm, kk, tier in CASES:
         mvals = (
             jnp.arange(n, dtype=jnp.uint32) * jnp.uint32(2654435761)
         ) & jnp.uint32((1 << wm) - 1)
@@ -65,7 +71,16 @@ def main(argv):
         del mvals
 
         keys = np.arange(kk, dtype=np.uint32)
-        sums, counts = agg_ops.aggregate_scan_device(pdev, mdev, keys)
+        if tier == "bitplane":
+            counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+                pdev.tiles, mdev.tiles, keys, WP, wm, n
+            )
+            sums = agg_ops.finalize_sums(slo, shi)
+        else:
+            counts, slo, shi = agg_ops.aggregate_scan_tiles(
+                pdev.tiles, mdev.tiles, jnp.asarray(keys), WP, wm, n
+            )
+            sums = agg_ops.finalize_sums(slo, shi)
         counts = np.asarray(counts)
         ok = all(int(counts[j]) == int((pv == j).sum()) for j in range(kk))
         ok = ok and all(
@@ -73,9 +88,16 @@ def main(argv):
         )
 
         traffic = layout.packed_nbytes(WP, n) + layout.packed_nbytes(wm, n)
-        fn = functools.partial(
-            harness.chain_aggregate_scan, wp=WP, wm=wm, n=n, tb=None, kk=kk
-        )
+        if tier == "bitplane":
+            fn = functools.partial(
+                harness.chain_aggregate_bitplane_static, wp=WP, wm=wm, n=n,
+                tb=None, keys_tuple=tuple(int(x) for x in keys),
+            )
+        else:
+            fn = functools.partial(
+                harness.chain_aggregate_scan, wp=WP, wm=wm, n=n, tb=None,
+                kk=kk,
+            )
         # time-varying salt: byte-identical submissions would be replayed
         # from the relay's execution cache instead of measured fresh
         import time as _time
@@ -87,12 +109,12 @@ def main(argv):
         )
         gbs = traffic / meas.seconds / 1e9
         rows.append({
-            "wp": WP, "wm": wm, "k": kk,
+            "wp": WP, "wm": wm, "k": kk, "tier": tier,
             "ms_per_query": round(meas.millis, 4),
             "gb_per_s_read": round(gbs, 1),
             "verified": ok, "n": n, "traffic_bytes": traffic,
         })
-        print(f"wp={WP} wm={wm} k={kk}: {gbs:.1f} GB/s read, "
+        print(f"wp={WP} wm={wm} k={kk} {tier}: {gbs:.1f} GB/s read, "
               f"{meas.millis:.3f} ms/query verify={'ok' if ok else 'FAIL'}",
               flush=True)
         del mdev, mv

@@ -63,6 +63,7 @@ def main(argv):
     # (fetch ONLY the prefix: device_get of the full 477 MB uint8 output
     # exhausts the relay transfer path — measured)
     vhost = np.asarray(jax.device_get(vals[: 8 * 1024]))
+    del vals  # 1.9 GB on-device; keeping it live OOM'd the MXU chain
     exp = np.zeros(((vhost.size + 7) // 8) * k, np.uint8)
     for j, key in enumerate(keys):
         m = np.packbits(vhost == key, bitorder="little")

@@ -50,22 +50,25 @@ def main(argv):
     results = bench_scaling(
         per_device_data_size=per_device, reps=3, tier="xla"
     )
+    base = results[0][1]
     with open(out_path, "w", newline="") as f:
         w = csv.writer(f)
         w.writerow([
             "devices", "aggregate_bytes_per_s", "efficiency_vs_1dev",
-            "platform", "tier", "note",
+            "throughput_vs_1dev", "platform", "tier", "note",
         ])
         for nd, bps, eff in results:
-            regime = (
-                f"within {cores} physical cores"
-                if nd <= cores
-                else f"oversubscribed {nd}/{cores} devices-per-core bound "
-                f"{cores / nd:.2f}"
-            )
+            # XLA CPU parallelizes even a 1-device program across every
+            # core (measured: aggregate bytes/s is FLAT in mesh size), so
+            # per-device efficiency on this box is bounded by cores/nd by
+            # construction.  throughput_vs_1dev isolates what the
+            # benchmark CAN measure here: the cost of adding block-axis
+            # sharding + psum to the same silicon (~1.0 = free).
             w.writerow([
-                nd, round(bps), round(eff, 4), "cpu-virtual-8",
-                "xla-compiled", regime,
+                nd, round(bps), round(eff, 4), round(bps / base, 4),
+                "cpu-virtual-8", "xla-compiled",
+                f"{cores} physical cores saturated at every mesh size; "
+                "sharding+psum overhead = 1 - throughput_vs_1dev",
             ])
     print(f"wrote {out_path} ({len(results)} rows)")
     return 0

@@ -141,6 +141,109 @@ def main(argv):
               f"B1-rows) vs full {mf.millis:.3f} ms -> {speedup:.1f}x "
               f"verify={'ok' if ok else 'FAIL'}", flush=True)
 
+    # ----- clustered-but-UNSORTED column: the shape single-span pruning
+    # cannot skip (matching zones scattered through the file force a
+    # near-full span) but per-block gating can (VERDICT r3 item 5).
+    # Key-7 clusters sit in 4 zones spread across the column, base data
+    # never matches.
+    del dev
+    zone_vals = 512 * 128 * 32  # values per zone_b1=512 zone (device layout)
+    CLUSTERS = (0, 57, 131, 227)  # zone ids (zone_b1=512 -> 228 zones)
+
+    @jax.jit
+    def synth_clustered():
+        i = jnp.arange(n, dtype=jnp.uint32)
+        base = (i % jnp.uint32(100)) + jnp.uint32(100)
+        z = i // jnp.uint32(zone_vals)
+        hit = jnp.zeros(n, bool)
+        for c in CLUSTERS:
+            hit = hit | (z == jnp.uint32(c))
+        return jnp.where(hit, jnp.uint32(7), base)
+
+    vals = synth_clustered()
+    cdev = unpack_ops.pack_device_kernel(vals, WIDTH)
+    del vals
+    czmap = zonemap.build_zonemap(cdev, zone_b1=512, chunk_zones=8)
+    # the single-span pruner must degrade here (clusters at both ends)
+    s0, span0 = zonemap.prune_span(czmap, 7, 8)
+    assert span0 >= czmap.b1 // 2, "test column should defeat single-span"
+    tbz = 256
+    live = zonemap.zone_step_mask(czmap, 7, 8, tbz)
+    nlive = int(live.sum())
+    print(f"clustered-unsorted: single-span would cover {span0}/{czmap.b1} "
+          f"rows; gather grid touches {nlive}/{live.shape[0]} steps",
+          flush=True)
+
+    # verify zoned vs full kernel (count + canonical prefix)
+    WCHK = 2_000_000
+    bits_z, cnt_z = zonemap.zoned_range_scan(cdev, czmap, 7, 8, tb=tbz)
+    bits_f, cnt_f = scan_ops.range_scan_tiles(
+        cdev.tiles, jnp.asarray([7], jnp.uint32),
+        jnp.asarray([8], jnp.uint32), WIDTH, n)
+    cbits_f = scan_ops.bits_to_canonical(bits_f, n)[0]
+    pre_z = np.asarray(jax.device_get(jax.jit(lambda b: b[:WCHK])(bits_z)))
+    pre_f = np.asarray(jax.device_get(jax.jit(lambda b: b[:WCHK])(cbits_f)))
+    ok = (
+        int(jax.device_get(cnt_z)) == int(jax.device_get(cnt_f[0]))
+        and bool((pre_z == pre_f).all())
+    )
+
+    ids = np.nonzero(live)[0].astype(np.int32)
+    g = 1
+    while g < nlive:
+        g *= 2
+    idx0 = np.concatenate([ids, np.full(g - nlive, ids[-1], np.int32)])
+    flag0 = np.concatenate(
+        [np.ones(nlive, np.int32), np.zeros(g - nlive, np.int32)]
+    )
+    idxj = jnp.asarray(idx0)
+    flagj = jnp.asarray(flag0)
+    lows = jnp.asarray([7], jnp.uint32)
+    highs = jnp.asarray([8], jnp.uint32)
+    max_shift = int(live.shape[0] - 1 - ids.max())
+
+    def chain_zoned(tiles, salt, k):
+        def body(i, acc):
+            # shift every live step by salt parity: different blocks,
+            # identical workload size (defeats the replay cache)
+            sh = jnp.int32((salt + jnp.uint32(i)) % 2) * min(1, max_shift)
+            _, c = zonemap._zoned_range_tiles(
+                tiles, idxj + sh, flagj, lows, highs,
+                g=g, width=WIDTH, n=n, tb=tbz, interpret=False)
+            return acc + c[0]
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    def chain_full_c(tiles, salt, k):
+        def body(i, acc):
+            lo2 = lows + ((salt + jnp.uint32(i)) << 9)
+            hi2 = highs + ((salt + jnp.uint32(i)) << 9)
+            _, c = scan_ops.range_scan_tiles(tiles, lo2, hi2, WIDTH, n, tb=None)
+            return acc + c[0]
+        return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+    touched = layout.packed_nbytes(WIDTH, g * tbz * 128 * 32)
+    mp = measure_loop(
+        jax.jit(chain_zoned, static_argnames=("k",)), (cdev.tiles,),
+        trials=reps, est_iter_s=max(touched / 400e9, 3e-5),
+        salt0=(abs(hash("zoned")) + int(time.time())) % 1_000_000,
+    )
+    mf = measure_loop(
+        jax.jit(chain_full_c, static_argnames=("k",)), (cdev.tiles,),
+        trials=reps, est_iter_s=layout.packed_nbytes(WIDTH, n) / 500e9,
+        salt0=(abs(hash("zoned")) + int(time.time()) + 7) % 1_000_000,
+    )
+    speedup = mf.seconds / mp.seconds
+    rows.append({
+        "query": f"clustered-unsorted key=7 ({len(CLUSTERS)} scattered "
+                 f"zones; per-block gather grid)",
+        "span_b1": nlive * tbz, "of_b1": czmap.b1,
+        "pruned_ms": round(mp.millis, 4), "full_ms": round(mf.millis, 4),
+        "speedup": round(speedup, 1), "verified": ok, "n": n,
+    })
+    print(f"clustered-unsorted: zoned {mp.millis:.3f} ms vs full "
+          f"{mf.millis:.3f} ms -> {speedup:.1f}x "
+          f"verify={'ok' if ok else 'FAIL'}", flush=True)
+
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
         w.writeheader()

@@ -284,7 +284,10 @@ def chain_linear_shared_scan(
                 else linear_ops.interleave_xla_stack
             )
             out = fn(bits, (n + 7) // 8)
-        return acc + jnp.sum(out.astype(jnp.uint32))
+        # no astype before the sum: the uint8->uint32 convert must stay
+        # inside the reduction lowering — materialized it is a 4x-sized
+        # buffer that OOM'd the chip at 512 MiB (measured)
+        return acc + jnp.sum(out)
 
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
 

@@ -95,13 +95,17 @@ def bench_scaling(
                 _chain_sharded, mesh=mesh, width=width, n=n, interpret=interpret
             )
         cpu = devices[0].platform == "cpu"
+        # compiled-tier CPU runs need a wider differenced span than the
+        # interpret protocol demo: 16 iterations vs 4 (measured: 4-iter
+        # spans on a contended 4-core box produced 0.5-5.6 ms trial
+        # scatter and a nonsense superlinear efficiency row)
         meas = measure_loop(
             chain,
             (sdev.tiles, keys),
             trials=reps,
             est_iter_s=traffic / (400e9 * nd) if not cpu else None,
-            k_lo=2 if cpu else 8,
-            k_hi=6 if cpu else None,
+            k_lo=(4 if tier == "xla" else 2) if cpu else 8,
+            k_hi=(20 if tier == "xla" else 6) if cpu else None,
         )
         bps = traffic / meas.seconds
         if base_bps is None:

@@ -48,9 +48,15 @@ def _mxu_supported(k: int) -> bool:
     return k % 4 == 0 and 4 <= k <= 16
 
 
-def _interleave_mxu_kernel(in_ref, out_ref, *, k: int, tw: int):
+def _interleave_mxu_kernel(perm_ref, in_ref, out_ref, *, k: int, tw: int):
     """One grid step: (k, tw, 128) bits words -> (tw, 128k) interleaved
-    words (out word f of row R = stream f%k, t = R*128 + f//k)."""
+    words (out word f of row R = stream f%k, t = R*128 + f//k).
+
+    ``perm_ref`` is the (128k, 128k) 0/1 bf16 permutation matrix
+    P[c*128+e, e*k+c] = 1, built ONCE outside the kernel and fetched
+    once (constant block index -> no per-step DMA).  Building it
+    in-kernel from iota was measured 15x slower than the dots it feeds
+    (~16k VPU vreg-ops per grid step vs ~1k MXU cycles)."""
     from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
 
     # byte mixing: stream c = s*(k/4) + h word t carries bytes
@@ -63,33 +69,23 @@ def _interleave_mxu_kernel(in_ref, out_ref, *, k: int, tw: int):
         for s in range(4):
             zs[s * (k // 4) + h] = q[s]
 
-    # word permutation on the MXU, one byte plane at a time.  P_c is
-    # built arithmetically (0/1 int32 from iota distance) — a boolean
-    # compare + select produces a (128, 128k) i1 vector whose layout the
-    # hardware Mosaic cannot relayout to the bf16 operand tiling
-    # (measured rejection: "Non-singleton logical dimension is
-    # replicated in destination but not in source")
-    e = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES * k), 0)
-    f = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES * k), 1)
+    perm = perm_ref[...]
     acc = None
     for p in range(4):
-        accf = None
-        for c in range(k):
-            plane = ((zs[c] >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(
-                jnp.int32
-            ).astype(jnp.bfloat16)
-            d = f - e * k - c
-            pc = (
-                jnp.int32(1) - jnp.minimum(jnp.abs(d), jnp.int32(1))
-            ).astype(jnp.bfloat16)
-            d = jax.lax.dot_general(
-                plane, pc, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            accf = d if accf is None else accf + d
+        planes = [
+            ((z >> jnp.uint32(8 * p)) & jnp.uint32(0xFF))
+            .astype(jnp.int32)
+            .astype(jnp.bfloat16)
+            for z in zs
+        ]
+        z2 = jnp.concatenate(planes, axis=1)  # (tw, 128k), 128-aligned
+        d = jax.lax.dot_general(
+            z2, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
         # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then shift
         # into byte position p
-        part = accf.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(8 * p)
+        part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(8 * p)
         acc = part if acc is None else acc | part
     out_ref[...] = acc
 
@@ -102,7 +98,9 @@ def interleave_mxu_tiles(
     MXU permutation kernel.  Requires _mxu_supported(k)."""
     k, w = bits.shape
     assert _mxu_supported(k)
-    tw = tw or 64
+    # VMEM: perm is (128k)^2 bf16 (2 MB at k=8, 8 MB at k=16) resident
+    # alongside double-buffered in/out blocks — shrink the tile as k grows
+    tw = tw or (128 if k <= 8 else 32)
     w128 = -(-w // 128)
     # round the row count so tw divides it; padded rows are sliced off
     rows = -(-w128 // tw) * tw
@@ -110,20 +108,31 @@ def interleave_mxu_tiles(
     if pad:
         bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
     inb = bits.reshape(k, rows, 128)
+    # P[c*128+e, e*k+c] = 1: 0/1 permutation, exact in bf16
+    e = jnp.arange(LANES, dtype=jnp.int32)
+    c = jnp.arange(k, dtype=jnp.int32)
+    f = jnp.arange(LANES * k, dtype=jnp.int32)
+    perm = (
+        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
+    ).astype(jnp.bfloat16).reshape(LANES * k, LANES * k)
     out = pl.pallas_call(
         functools.partial(_interleave_mxu_kernel, k=k, tw=tw),
         out_shape=jax.ShapeDtypeStruct((rows, 128 * k), jnp.uint32),
         grid=(rows // tw,),
         in_specs=[
             pl.BlockSpec(
+                (LANES * k, LANES * k), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
                 (k, tw, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
-            )
+            ),
         ],
         out_specs=pl.BlockSpec(
             (tw, 128 * k), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(inb)
+    )(perm, inb)
     return jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(-1)[: nbytes * k]
 
 

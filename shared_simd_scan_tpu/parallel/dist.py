@@ -393,18 +393,25 @@ def sharded_range_scan(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "wp", "wm", "n", "tb", "interpret")
+    jax.jit,
+    static_argnames=("mesh", "wp", "wm", "n", "tb", "interpret", "bitplane"),
 )
 def _sharded_aggregate_scan_tiles(
-    ptiles, mtiles, keys, *, mesh, wp, wm, n, tb, interpret
+    ptiles, mtiles, keys, *, mesh, wp, wm, n, tb, interpret,
+    bitplane: bool = False,
 ):
     from shared_simd_scan_tpu.ops import aggregate as agg_ops
 
     local_b1 = ptiles.shape[1] // mesh.devices.size
+    fn = (
+        agg_ops.aggregate_bitplane_tiles
+        if bitplane
+        else agg_ops.aggregate_scan_tiles
+    )
 
     def local(ptiles_l, mtiles_l, keys_l):
         off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
-        counts, slo, shi = agg_ops.aggregate_scan_tiles(
+        counts, slo, shi = fn(
             ptiles_l, mtiles_l, keys_l, wp, wm, n, tb=tb,
             interpret=interpret, block_offset=off,
         )
@@ -419,6 +426,35 @@ def _sharded_aggregate_scan_tiles(
     )(ptiles, mtiles, keys)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "keys_tuple", "wp", "wm", "n", "tb", "interpret"),
+)
+def _sharded_aggregate_bitplane_tiles(
+    ptiles, mtiles, *, mesh, keys_tuple, wp, wm, n, tb, interpret
+):
+    from shared_simd_scan_tpu.ops import aggregate as agg_ops
+
+    local_b1 = ptiles.shape[1] // mesh.devices.size
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def local(ptiles_l, mtiles_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        counts, slo, shi = agg_ops.aggregate_bitplane_static_tiles(
+            ptiles_l, mtiles_l, keys, wp, wm, n, tb=tb,
+            interpret=interpret, block_offset=off,
+        )
+        return jax.lax.psum(counts, DATA_AXIS), slo, shi
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P(None, DATA_AXIS, None)),
+        out_specs=(P(), P(DATA_AXIS, None, None), P(DATA_AXIS, None, None)),
+        check_vma=False,
+    )(ptiles, mtiles)
+
+
 def sharded_aggregate_scan(
     pdev: DeviceColumn, mdev: DeviceColumn, keys, mesh: Mesh,
     tb: int | None = None, interpret: bool = False,
@@ -428,18 +464,32 @@ def sharded_aggregate_scan(
 
     Per-shard sum partials stay sharded along the step axis; the exact
     uint64 finalization gathers only the small partial grid to the host
-    (see ops.aggregate for the overflow-headroom argument)."""
+    (see ops.aggregate for the overflow-headroom argument).  Same tier
+    dispatch as the single-chip aggregate_scan_device (concrete keys past
+    the counted-cost crossover run the bit-plane kernel); keys are
+    inspected BEFORE any jnp conversion (the Tracer-demotion trap)."""
     from shared_simd_scan_tpu.ops import aggregate as agg_ops
 
     if pdev.n != mdev.n:
         raise ValueError(
             f"column lengths differ: predicate n={pdev.n}, measure n={mdev.n}"
         )
-    keys = jnp.asarray(keys, jnp.uint32)
-    counts, slo, shi = _sharded_aggregate_scan_tiles(
-        pdev.tiles, mdev.tiles, keys, mesh=mesh, wp=pdev.width,
-        wm=mdev.width, n=pdev.n, tb=tb, interpret=interpret,
-    )
+    traced = isinstance(keys, jax.core.Tracer)
+    tier = agg_ops.pick_aggregate_tier(pdev.width, mdev.width, keys)
+    if tier == "bitplane" and not traced:
+        counts, slo, shi = _sharded_aggregate_bitplane_tiles(
+            pdev.tiles, mdev.tiles, mesh=mesh,
+            keys_tuple=tuple(int(x) for x in np.asarray(keys, np.uint32)),
+            wp=pdev.width, wm=mdev.width, n=pdev.n, tb=tb,
+            interpret=interpret,
+        )
+    else:
+        keys = keys if traced else jnp.asarray(np.asarray(keys, np.uint32))
+        counts, slo, shi = _sharded_aggregate_scan_tiles(
+            pdev.tiles, mdev.tiles, keys, mesh=mesh, wp=pdev.width,
+            wm=mdev.width, n=pdev.n, tb=tb, interpret=interpret,
+            bitplane=tier == "bitplane",
+        )
     return agg_ops.finalize_sums(fetch_global(slo), fetch_global(shi)), counts
 
 

@@ -341,3 +341,29 @@ def test_sharded_masked_aggregate_matches_single_chip():
     mask = (pvals >= 100) & (pvals < 300)
     assert int(c) == int(mask.sum())
     assert int(s) == int(mvals[mask].astype(np.uint64).sum())
+
+
+def test_sharded_aggregate_bitplane_dispatch():
+    # concrete keys past the crossover route the sharded aggregate through
+    # the bit-plane shard_map variant; results must match numpy exactly
+    from shared_simd_scan_tpu.parallel import dist
+
+    wp, wm, n = 9, 16, 60_000
+    p, m, pcol, mcol = _cols(wp, wm, n, seed=9)
+    pdev, mdev = layout.to_device(pcol), layout.to_device(mcol)
+    mesh = dist.make_mesh()
+    spdev = dist.shard_column(pdev, mesh)
+    smdev = dist.shard_column(mdev, mesh)
+    keys = np.unique(
+        np.random.default_rng(4).integers(0, 1 << wp, 24).astype(np.uint32)
+    )
+    assert agg_ops.pick_aggregate_tier(wp, wm, keys) == "bitplane"
+    sums, counts = dist.sharded_aggregate_scan(
+        spdev, smdev, keys, mesh, interpret=True
+    )
+    esums = np.array(
+        [m[p == k].astype(np.uint64).sum() for k in keys], np.uint64
+    )
+    ecounts = np.array([(p == k).sum() for k in keys], np.uint32)
+    np.testing.assert_array_equal(np.asarray(counts), ecounts)
+    np.testing.assert_array_equal(sums, esums)
