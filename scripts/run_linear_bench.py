@@ -81,8 +81,12 @@ def main(argv):
     traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
     rows = []
     variants = [
-        ("linear-mxu", harness.chain_linear_shared_scan, {"relayout": "dispatch"},
-         "device rows include a full-output consume pass"),
+        ("linear-mxu-words", harness.chain_linear_shared_scan,
+         {"relayout": "words"},
+         "production export: linear bytes as u32 words (same HBM bytes)"),
+        ("linear-mxu-u8view", harness.chain_linear_shared_scan,
+         {"relayout": "dispatch"},
+         "adds the u8 device view: 16.5x-padded bitcast materialization"),
         ("linear-xla-stack", harness.chain_linear_shared_scan,
          {"relayout": "stack"},
          "device rows include a full-output consume pass"),

@@ -200,15 +200,19 @@ def main(argv):
     flagj = jnp.asarray(flag0)
     lows = jnp.asarray([7], jnp.uint32)
     highs = jnp.asarray([8], jnp.uint32)
-    max_shift = int(live.shape[0] - 1 - ids.max())
 
     def chain_zoned(tiles, salt, k):
         def body(i, acc):
-            # shift every live step by salt parity: different blocks,
-            # identical workload size (defeats the replay cache)
-            sh = jnp.int32((salt + jnp.uint32(i)) % 2) * min(1, max_shift)
+            # salt the PREDICATE, not the routing: the first version
+            # shifted idx by salt parity, but with the last step live the
+            # shift clamps to 0, the body goes loop-invariant, and XLA
+            # hoists it (measured: a 0.0004 ms "2724x" artifact — the
+            # round-3 lesson again).  A salted out-of-domain range costs
+            # identically (compares are data-independent).
+            lo2 = lows + ((salt + jnp.uint32(i)) << 9)
+            hi2 = highs + ((salt + jnp.uint32(i)) << 9)
             _, c = zonemap._zoned_range_tiles(
-                tiles, idxj + sh, flagj, lows, highs,
+                tiles, idxj, flagj, lo2, hi2,
                 g=g, width=WIDTH, n=n, tb=tbz, interpret=False)
             return acc + c[0]
         return jax.lax.fori_loop(0, k, body, jnp.uint32(0))

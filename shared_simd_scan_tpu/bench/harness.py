@@ -274,7 +274,9 @@ def chain_linear_shared_scan(
     def body(i, acc):
         kv = keys0 + ((salt + jnp.uint32(i)) << 16)
         dev = DeviceColumn(width=width, n=n, tiles=tiles)
-        if relayout == "dispatch":
+        if relayout == "words":
+            out = scan_ops.shared_scan_linear_words_device(dev, kv, tb=tb)
+        elif relayout == "dispatch":
             out = scan_ops.shared_scan_linear_device(dev, kv, tb=tb)
         else:
             bits, _ = scan_ops.shared_scan_device(dev, kv, tb=tb)

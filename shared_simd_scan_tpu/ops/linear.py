@@ -12,21 +12,26 @@ simd_scan_shared_linear.cpp:9-82).  On TPU the native kernel output is
 This module holds the formulations that ARE expressible, measured
 side-by-side in bench_results/linear_v5e_512m.csv:
 
-1. :func:`interleave_mxu_tiles` — a Pallas kernel that does the byte
+1. :func:`interleave_mxu_words` (+ its uint8 view
+   :func:`interleave_mxu_tiles`) — a Pallas kernel that does the byte
    mixing with SWAPMOVE quads (VPU) and the word permutation on the
-   **MXU**: out tile (tw, 128k) = sum_c dot(z_c byte-plane, P_c) where
-   P_c[e, e*k + c] = 1 is a 0/1 permutation matrix built in-kernel from
-   iota.  Byte planes are <= 255 so bf16 products are exact and every
-   f32 output element receives exactly one nonzero product — bit-exact
-   by construction.  All intermediates stay in VMEM: HBM traffic is the
-   read + write floor.  This is a *fundamentally different* MXU shape
-   from the rejected quadratic-equality matmul (contraction dim 128, not
-   a tiny loop-carried dim).
-2. :func:`interleave_xla_stack` — the pure-XLA relayout
+   **MXU**: out tile (tw, 128k) = dot(byte-plane concat, P) where
+   P[c*128+e, e*k+c] = 1 is a 0/1 permutation matrix passed as a
+   constant-index operand.  Byte planes are <= 255 so bf16 products are
+   exact and every f32 output element receives exactly one nonzero
+   product — bit-exact by construction.  All intermediates stay in
+   VMEM: HBM traffic is the read + write floor.  This is a
+   *fundamentally different* MXU shape from the rejected
+   quadratic-equality matmul (contraction dim 128k, not a tiny
+   loop-carried dim).
+2. :func:`interleave_xla_mxu` — the same algorithm with XLA emitting
+   the matmul (diagnostic twin; measured equivalent, kept for the
+   bisection story).
+3. :func:`interleave_xla_stack` — the pure-XLA relayout
    (scan._interleave_linear): SWAPMOVE quads + minor-axis stack, chunked
    to bound the padded intermediates.  The k-minor stack pads 16x on
    the lane axis; kept as the general-k fallback.
-3. Host AVX2 ``sss_interleave`` (csrc/sss_host.cpp) for callers that
+4. Host AVX2 ``sss_interleave`` (csrc/sss_host.cpp) for callers that
    want the bytes on the host anyway — see host.interleave_bytes.
 """
 from __future__ import annotations
@@ -70,12 +75,14 @@ def _interleave_mxu_kernel(perm_ref, in_ref, out_ref, *, k: int, tw: int):
             zs[s * (k // 4) + h] = q[s]
 
     perm = perm_ref[...]
+    f32 = perm.dtype == jnp.float32
+    nplanes, pbits, mask = (2, 16, 0xFFFF) if f32 else (4, 8, 0xFF)
     acc = None
-    for p in range(4):
+    for p in range(nplanes):
         planes = [
-            ((z >> jnp.uint32(8 * p)) & jnp.uint32(0xFF))
+            ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
             .astype(jnp.int32)
-            .astype(jnp.bfloat16)
+            .astype(perm.dtype)
             for z in zs
         ]
         z2 = jnp.concatenate(planes, axis=1)  # (tw, 128k), 128-aligned
@@ -84,18 +91,33 @@ def _interleave_mxu_kernel(perm_ref, in_ref, out_ref, *, k: int, tw: int):
             preferred_element_type=jnp.float32,
         )
         # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then shift
-        # into byte position p
-        part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(8 * p)
+        # into plane position p
+        part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
+            pbits * p
+        )
         acc = part if acc is None else acc | part
     out_ref[...] = acc
 
 
-@functools.partial(jax.jit, static_argnames=("nbytes", "tw", "interpret"))
-def interleave_mxu_tiles(
-    bits: jax.Array, nbytes: int, tw: int | None = None, interpret: bool = False
+@functools.partial(
+    jax.jit, static_argnames=("nwords", "tw", "interpret", "f32")
+)
+def interleave_mxu_words(
+    bits: jax.Array, nwords: int, tw: int | None = None,
+    interpret: bool = False, f32: bool = False,
 ) -> jax.Array:
-    """(k, W) uint32 bitvectors -> uint8[nbytes * k] linear layout via the
-    MXU permutation kernel.  Requires _mxu_supported(k)."""
+    """(k, W) uint32 bitvectors -> uint32[nwords] of the linear layout.
+
+    The linear BYTE stream viewed 4 bytes at a time (little-endian) —
+    byte-identical HBM contents to the uint8 contract, and the form every
+    large consumer should use: materializing the uint8 VIEW on device
+    costs ~100 ms at 512 MiB because the (rows, 1024, 4) u8 bitcast
+    intermediate takes a 16.5x-padded layout (measured OOM + the 113 ms
+    "slow kernel" that was actually this bitcast).  Requires
+    _mxu_supported(k).
+
+    ``f32=True``: two uint16 planes through f32 dots (exact <= 2^16)
+    instead of four uint8 planes through bf16 (measured equal)."""
     k, w = bits.shape
     assert _mxu_supported(k)
     # VMEM: perm is (128k)^2 bf16 (2 MB at k=8, 8 MB at k=16) resident
@@ -114,7 +136,9 @@ def interleave_mxu_tiles(
     f = jnp.arange(LANES * k, dtype=jnp.int32)
     perm = (
         f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
-    ).astype(jnp.bfloat16).reshape(LANES * k, LANES * k)
+    ).astype(jnp.float32 if f32 else jnp.bfloat16).reshape(
+        LANES * k, LANES * k
+    )
     out = pl.pallas_call(
         functools.partial(_interleave_mxu_kernel, k=k, tw=tw),
         out_shape=jax.ShapeDtypeStruct((rows, 128 * k), jnp.uint32),
@@ -133,7 +157,124 @@ def interleave_mxu_tiles(
         ),
         interpret=interpret,
     )(perm, inb)
-    return jax.lax.bitcast_convert_type(out, jnp.uint8).reshape(-1)[: nbytes * k]
+    return out.reshape(-1)[:nwords]
+
+
+def interleave_mxu_tiles(
+    bits: jax.Array, nbytes: int, tw: int | None = None,
+    interpret: bool = False, f32: bool = False,
+) -> jax.Array:
+    """uint8 view of :func:`interleave_mxu_words` (byte-parity API; use
+    the words form for large device-side consumers — see its docstring
+    for the measured padded-bitcast cost)."""
+    k = int(bits.shape[0])
+    total = nbytes * k
+    words = interleave_mxu_words(
+        bits, -(-total // 4), tw=tw, interpret=interpret, f32=f32
+    )
+    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)[:total]
+
+
+@functools.partial(jax.jit, static_argnames=("nwords",))
+def interleave_xla_mxu_words(bits: jax.Array, nwords: int) -> jax.Array:
+    """Words-level XLA twin of :func:`interleave_mxu_words` (no u8
+    bitcast anywhere — same HBM bytes, see the words docstring)."""
+    from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
+
+    k, w = bits.shape
+    assert k % 4 == 0
+    rows = -(-w // 128)
+    pad = rows * 128 - w
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
+    zs = [None] * k
+    for h in range(k // 4):
+        q = _byte_transpose_quad(bits[4 * h], bits[4 * h + 1],
+                                 bits[4 * h + 2], bits[4 * h + 3])
+        for s in range(4):
+            zs[s * (k // 4) + h] = q[s]
+    in2 = (
+        jnp.stack(zs)
+        .reshape(k, rows, 128)
+        .transpose(1, 0, 2)
+        .reshape(rows, 128 * k)
+    )
+    e = jnp.arange(LANES, dtype=jnp.int32)
+    c = jnp.arange(k, dtype=jnp.int32)
+    f = jnp.arange(LANES * k, dtype=jnp.int32)
+    perm = (
+        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
+    ).astype(jnp.bfloat16).reshape(LANES * k, LANES * k)
+    acc = None
+    for p in range(4):
+        plane = ((in2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(
+            jnp.bfloat16
+        )
+        d = jax.lax.dot_general(
+            plane, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        part = d.astype(jnp.uint32) << jnp.uint32(8 * p)
+        acc = part if acc is None else acc | part
+    return acc.reshape(-1)[:nwords]
+
+
+@functools.partial(jax.jit, static_argnames=("nbytes",))
+def interleave_xla_mxu(bits: jax.Array, nbytes: int) -> jax.Array:
+    """XLA-native MXU formulation: the same byte-quad + permutation-
+    matmul algorithm as the Pallas kernel, but with XLA emitting the
+    matmul (diagnostic twin — if XLA's matmul is fast where the Pallas
+    dot is slow, Mosaic is not placing the in-kernel dot on the MXU).
+
+    in2[R, c*128+e] = z_c[R*128+e] (one minor-128 transpose), then per
+    byte plane one (R, 128k) @ (128k, 128k) bf16 matmul against
+    P[c*128+e, e*k+c] = 1.  Every array keeps a 128k-lane minor dim
+    (layout-friendly, no padding) and the final u8 bitcast fuses into
+    the consumer — a lax.map-chunked first version forced the bitcast
+    to materialize as u8[rows,1024,4] with a 16x-padded layout and
+    OOM'd the chip at 512 MiB (measured)."""
+    from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
+
+    k, w = bits.shape
+    assert k % 4 == 0
+    rows = -(-w // 128)
+    pad = rows * 128 - w
+    if pad:
+        bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
+
+    zs = [None] * k
+    for h in range(k // 4):
+        q = _byte_transpose_quad(bits[4 * h], bits[4 * h + 1],
+                                 bits[4 * h + 2], bits[4 * h + 3])
+        for s in range(4):
+            zs[s * (k // 4) + h] = q[s]
+    in2 = (
+        jnp.stack(zs)  # (k, rows*128)
+        .reshape(k, rows, 128)
+        .transpose(1, 0, 2)  # minor dim stays 128
+        .reshape(rows, 128 * k)
+    )
+    e = jnp.arange(LANES, dtype=jnp.int32)
+    c = jnp.arange(k, dtype=jnp.int32)
+    f = jnp.arange(LANES * k, dtype=jnp.int32)
+    perm = (
+        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
+    ).astype(jnp.bfloat16).reshape(LANES * k, LANES * k)
+
+    acc = None
+    for p in range(4):
+        plane = ((in2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(
+            jnp.bfloat16
+        )
+        d = jax.lax.dot_general(
+            plane, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        part = d.astype(jnp.uint32) << jnp.uint32(8 * p)
+        acc = part if acc is None else acc | part
+    return jax.lax.bitcast_convert_type(acc, jnp.uint8).reshape(-1)[
+        : nbytes * k
+    ]
 
 
 def interleave_xla_stack(bits: jax.Array, nbytes: int) -> jax.Array:
@@ -156,7 +297,9 @@ def interleave_device(
 
 
 __all__ = [
+    "interleave_mxu_words",
     "interleave_mxu_tiles",
+    "interleave_xla_mxu",
     "interleave_xla_stack",
     "interleave_device",
 ]

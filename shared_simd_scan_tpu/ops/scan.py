@@ -413,6 +413,39 @@ def shared_scan_linear_device(
     return interleave_device(bits, (dev.n + 7) // 8, interpret=interpret)
 
 
+def shared_scan_linear_words_device(
+    dev: DeviceColumn, keys, tb: int | None = None, interpret: bool = False
+) -> jax.Array:
+    """Linear shared scan -> uint32[nbytes * k / 4]: the SAME linear byte
+    stream viewed 4 little-endian bytes at a time — byte-identical HBM
+    contents to :func:`shared_scan_linear_device`, and the form large
+    device-side consumers should use: the uint8 device view costs a
+    16.5x-padded bitcast materialization (~100 ms per 512 MiB query,
+    measured — see ops/linear.py).  Host exports reinterpret for free
+    (np.view(np.uint8)).  Requires k % 4 == 0 (byte count divisible
+    by 4)."""
+    from shared_simd_scan_tpu.ops.linear import (
+        _mxu_supported,
+        interleave_mxu_words,
+        interleave_xla_stack,
+    )
+
+    keys = jnp.asarray(keys, jnp.uint32)
+    k = int(keys.shape[0])
+    if k % 4:
+        raise ValueError("words view needs k % 4 == 0; use the uint8 form")
+    bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
+    nbytes = (dev.n + 7) // 8
+    if _mxu_supported(k):
+        return interleave_mxu_words(
+            bits, nbytes * k // 4, interpret=interpret
+        )
+    out = interleave_xla_stack(bits, nbytes)
+    return jax.lax.bitcast_convert_type(
+        out.reshape(-1, 4), jnp.uint32
+    )
+
+
 def popcount_bits(bits: jax.Array) -> jax.Array:
     """Hit counts from canonical bitvector words (axis -1)."""
     return jnp.sum(jax.lax.population_count(bits).astype(jnp.int32), axis=-1)
@@ -427,6 +460,7 @@ __all__ = [
     "shared_scan_device",
     "scan_device",
     "shared_scan_linear_device",
+    "shared_scan_linear_words_device",
     "histogram_tiles",
     "histogram_dag_tiles",
     "histogram_device",
@@ -1205,14 +1239,19 @@ def histogram_dag_tiles(
     chunk split re-pays subtree roots across chunks) and ~20x fewer grid
     steps (the k=512 chunked form ran ~19.5k steps; at the measured
     0.7-1 us/step overhead that alone was ~half its 15.7 ms).  k <= 48
-    keeps the chunked kernel (one small chunk, same thing).  Pass
+    keeps the chunked kernel (one small chunk, same thing); k > 512
+    also keeps it — the straight-line body grows with k and past the
+    hardware-validated k=512 point the TRACE+COMPILE cost explodes
+    (a w=12 full-domain k=4096 body took >10 min to build vs seconds
+    chunked; compile time is a production cost too).  Pass
     ``single_pass=False`` to force the chunked form (measured
-    side-by-side in bench_results/op_fit_v5e.csv)."""
+    side-by-side in bench_results/op_fit_v5e.csv) or ``True`` to force
+    the span kernel outside the default window."""
     if not (1 <= k <= 4096):
         raise ValueError(f"histogram supports 1 <= k <= 4096, got {k}")
     lo_i = int(lo)
     if single_pass is None:
-        single_pass = k > 48
+        single_pass = 48 < k <= 512
     if single_pass:
         return _histogram_span_tiles_impl(
             tiles, lo_i, k, width, n, tb, interpret, block_offset

@@ -512,6 +512,22 @@ def test_interleave_mxu_matches_byte_oracle():
         np.testing.assert_array_equal(got, exp)
 
 
+def test_interleave_xla_mxu_matches_byte_oracle():
+    # the XLA-native matmul twin of the Pallas MXU relayout (diagnostic
+    # + alternate dispatch target) must be bit-exact on ragged shapes
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(13)
+    for k, w in ((4, 257), (8, 1024), (12, 77), (8, 9_000)):
+        bits = rng.integers(0, 2**32, size=(k, w), dtype=np.uint32)
+        nbytes = w * 4 - 3
+        got = np.asarray(
+            linear_ops.interleave_xla_mxu(jnp.asarray(bits), nbytes)
+        )
+        exp = bits.view(np.uint8).reshape(k, -1)[:, :nbytes].T.reshape(-1)
+        np.testing.assert_array_equal(got, exp)
+
+
 def test_interleave_device_dispatch_matches_fallback():
     from shared_simd_scan_tpu.ops import linear as linear_ops
 
