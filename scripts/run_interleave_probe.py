@@ -47,6 +47,12 @@ def main(argv):
          lambda b: linear_ops.interleave_mxu_words(b, nwords, tw=128)),
         ("pallas-words-tw256",
          lambda b: linear_ops.interleave_mxu_words(b, nwords, tw=256)),
+        ("pallas-words-s8-tw256",
+         lambda b: linear_ops.interleave_mxu_words(
+             b, nwords, tw=256, dot="s8")),
+        ("pallas-words-s8-tw128",
+         lambda b: linear_ops.interleave_mxu_words(
+             b, nwords, tw=128, dot="s8")),
         ("xla-mxu-words",
          lambda b: linear_ops.interleave_xla_mxu_words(b, nwords)),
     ]

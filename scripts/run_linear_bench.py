@@ -81,9 +81,12 @@ def main(argv):
     traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
     rows = []
     variants = [
+        ("linear-fused-s8", harness.chain_linear_shared_scan,
+         {"relayout": "fused"},
+         "fused single-pass scan+interleave, int8 MXU dots (consecutive keys)"),
         ("linear-mxu-words", harness.chain_linear_shared_scan,
          {"relayout": "words"},
-         "production export: linear bytes as u32 words (same HBM bytes)"),
+         "two-kernel export: traced-keys scan + s8 MXU relayout"),
         ("linear-mxu-u8view", harness.chain_linear_shared_scan,
          {"relayout": "dispatch"},
          "adds the u8 device view: 16.5x-padded bitcast materialization"),

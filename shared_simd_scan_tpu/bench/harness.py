@@ -274,6 +274,13 @@ def chain_linear_shared_scan(
     def body(i, acc):
         kv = keys0 + ((salt + jnp.uint32(i)) << 16)
         dev = DeviceColumn(width=width, n=n, tiles=tiles)
+        if relayout == "fused":
+            # single-pass fused scan+interleave (traced lo, same salt
+            # convention); consume BOTH outputs (multi-output DCE lesson)
+            out, cnt = scan_ops.interval_scan_linear_words_tiles(
+                tiles, (salt + jnp.uint32(i)) << 16, kk, width, n, tb=tb
+            )
+            return acc + jnp.sum(out) + jnp.sum(cnt)
         if relayout == "words":
             out = scan_ops.shared_scan_linear_words_device(dev, kv, tb=tb)
         elif relayout == "dispatch":

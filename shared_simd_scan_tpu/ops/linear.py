@@ -53,7 +53,82 @@ def _mxu_supported(k: int) -> bool:
     return k % 4 == 0 and 4 <= k <= 16
 
 
-def _interleave_mxu_kernel(perm_ref, in_ref, out_ref, *, k: int, tw: int):
+def _mxu_interleave_rows(rows, perm, k: int, dot: str):
+    """Shared MXU interleave body: k per-key (tw, 128) uint32 word tiles
+    -> (tw, 128k) uint32 linear words via byte-quad SWAPMOVE mixing +
+    one 0/1-permutation dot per plane.  Used by the standalone relayout
+    kernel below AND the fused interval-scan+linear kernel
+    (ops/scan.py), which builds ``rows`` in-register and skips the
+    (k, W) bits round-trip through HBM entirely."""
+    from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
+
+    zs: list = [None] * k
+    for h in range(k // 4):
+        q = _byte_transpose_quad(
+            rows[4 * h], rows[4 * h + 1], rows[4 * h + 2], rows[4 * h + 3]
+        )
+        for s in range(4):
+            zs[s * (k // 4) + h] = q[s]
+
+    nplanes, pbits, mask = (2, 16, 0xFFFF) if dot == "f32" else (4, 8, 0xFF)
+    acc = None
+    for p in range(nplanes):
+        if dot == "s8":
+            # int8 MXU path (2x the bf16 rate on v5e): bias each byte
+            # plane into s8 range (v - 128 in [-128, 127]); every output
+            # column of P has exactly one 1, so d = v_perm - 128 exactly
+            # and the bias adds straight back in int32.
+            planes = [
+                (
+                    ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
+                    .astype(jnp.int32)
+                    - 128
+                ).astype(jnp.int8)
+                for z in zs
+            ]
+        else:
+            planes = [
+                ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
+                .astype(jnp.int32)
+                .astype(perm.dtype)
+                for z in zs
+            ]
+        z2 = jnp.concatenate(planes, axis=1)  # (tw, 128k), 128-aligned
+        d = jax.lax.dot_general(
+            z2, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=(
+                jnp.int32 if dot == "s8" else jnp.float32
+            ),
+        )
+        if dot == "s8":
+            part = (d + 128).astype(jnp.uint32) << jnp.uint32(pbits * p)
+        else:
+            # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then
+            # shift into plane position p
+            part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
+                pbits * p
+            )
+        acc = part if acc is None else acc | part
+    return acc
+
+
+def _perm_matrix(k: int, dot: str) -> jax.Array:
+    """The (128k, 128k) 0/1 permutation P[c*128+e, e*k+c] = 1 in the
+    dot format's operand dtype — built in XLA, passed as a constant-
+    index operand (building it in-kernel from iota was measured 15x the
+    dot cost)."""
+    e = jnp.arange(LANES, dtype=jnp.int32)
+    c = jnp.arange(k, dtype=jnp.int32)
+    f = jnp.arange(LANES * k, dtype=jnp.int32)
+    pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, "s8": jnp.int8}[dot]
+    return (
+        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
+    ).astype(pdt).reshape(LANES * k, LANES * k)
+
+
+def _interleave_mxu_kernel(
+    perm_ref, in_ref, out_ref, *, k: int, tw: int, dot: str = "bf16"
+):
     """One grid step: (k, tw, 128) bits words -> (tw, 128k) interleaved
     words (out word f of row R = stream f%k, t = R*128 + f//k).
 
@@ -62,49 +137,18 @@ def _interleave_mxu_kernel(perm_ref, in_ref, out_ref, *, k: int, tw: int):
     once (constant block index -> no per-step DMA).  Building it
     in-kernel from iota was measured 15x slower than the dots it feeds
     (~16k VPU vreg-ops per grid step vs ~1k MXU cycles)."""
-    from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
-
     # byte mixing: stream c = s*(k/4) + h word t carries bytes
     # (group 4t+s, keys 4h..4h+3) — same quad order as the XLA path
-    zs: list = [None] * k
-    for h in range(k // 4):
-        q = _byte_transpose_quad(
-            in_ref[4 * h], in_ref[4 * h + 1], in_ref[4 * h + 2], in_ref[4 * h + 3]
-        )
-        for s in range(4):
-            zs[s * (k // 4) + h] = q[s]
-
-    perm = perm_ref[...]
-    f32 = perm.dtype == jnp.float32
-    nplanes, pbits, mask = (2, 16, 0xFFFF) if f32 else (4, 8, 0xFF)
-    acc = None
-    for p in range(nplanes):
-        planes = [
-            ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
-            .astype(jnp.int32)
-            .astype(perm.dtype)
-            for z in zs
-        ]
-        z2 = jnp.concatenate(planes, axis=1)  # (tw, 128k), 128-aligned
-        d = jax.lax.dot_general(
-            z2, perm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then shift
-        # into plane position p
-        part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
-            pbits * p
-        )
-        acc = part if acc is None else acc | part
-    out_ref[...] = acc
+    rows = [in_ref[j] for j in range(k)]
+    out_ref[...] = _mxu_interleave_rows(rows, perm_ref[...], k, dot)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nwords", "tw", "interpret", "f32")
+    jax.jit, static_argnames=("nwords", "tw", "interpret", "dot")
 )
 def interleave_mxu_words(
     bits: jax.Array, nwords: int, tw: int | None = None,
-    interpret: bool = False, f32: bool = False,
+    interpret: bool = False, dot: str = "s8",
 ) -> jax.Array:
     """(k, W) uint32 bitvectors -> uint32[nwords] of the linear layout.
 
@@ -116,10 +160,14 @@ def interleave_mxu_words(
     "slow kernel" that was actually this bitcast).  Requires
     _mxu_supported(k).
 
-    ``f32=True``: two uint16 planes through f32 dots (exact <= 2^16)
-    instead of four uint8 planes through bf16 (measured equal)."""
+    ``dot`` selects the MXU number format: "s8" (default: four biased
+    s8 planes through int8 dots — measured 7.7 vs 10.2 ms per 512 MiB
+    relayout vs bf16 on v5e, bit-exact on hardware), "bf16" (four u8
+    planes, exact <= 255), "f32" (two u16 planes, exact <= 2^16 —
+    measured equal to bf16: half the planes at half the rate)."""
     k, w = bits.shape
     assert _mxu_supported(k)
+    assert dot in ("bf16", "f32", "s8")
     # VMEM: perm is (128k)^2 bf16 (2 MB at k=8, 8 MB at k=16) resident
     # alongside double-buffered in/out blocks — shrink the tile as k grows
     tw = tw or (128 if k <= 8 else 32)
@@ -130,17 +178,9 @@ def interleave_mxu_words(
     if pad:
         bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
     inb = bits.reshape(k, rows, 128)
-    # P[c*128+e, e*k+c] = 1: 0/1 permutation, exact in bf16
-    e = jnp.arange(LANES, dtype=jnp.int32)
-    c = jnp.arange(k, dtype=jnp.int32)
-    f = jnp.arange(LANES * k, dtype=jnp.int32)
-    perm = (
-        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
-    ).astype(jnp.float32 if f32 else jnp.bfloat16).reshape(
-        LANES * k, LANES * k
-    )
+    perm = _perm_matrix(k, dot)
     out = pl.pallas_call(
-        functools.partial(_interleave_mxu_kernel, k=k, tw=tw),
+        functools.partial(_interleave_mxu_kernel, k=k, tw=tw, dot=dot),
         out_shape=jax.ShapeDtypeStruct((rows, 128 * k), jnp.uint32),
         grid=(rows // tw,),
         in_specs=[
@@ -162,7 +202,7 @@ def interleave_mxu_words(
 
 def interleave_mxu_tiles(
     bits: jax.Array, nbytes: int, tw: int | None = None,
-    interpret: bool = False, f32: bool = False,
+    interpret: bool = False, dot: str = "s8",
 ) -> jax.Array:
     """uint8 view of :func:`interleave_mxu_words` (byte-parity API; use
     the words form for large device-side consumers — see its docstring
@@ -170,7 +210,7 @@ def interleave_mxu_tiles(
     k = int(bits.shape[0])
     total = nbytes * k
     words = interleave_mxu_words(
-        bits, -(-total // 4), tw=tw, interpret=interpret, f32=f32
+        bits, -(-total // 4), tw=tw, interpret=interpret, dot=dot
     )
     return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)[:total]
 

@@ -430,10 +430,23 @@ def shared_scan_linear_words_device(
         interleave_xla_stack,
     )
 
-    keys = jnp.asarray(keys, jnp.uint32)
+    traced = isinstance(keys, jax.core.Tracer)
+    if not traced:
+        keys = np.asarray(keys, dtype=np.uint32)
     k = int(keys.shape[0])
     if k % 4:
         raise ValueError("words view needs k % 4 == 0; use the uint8 form")
+    if not traced and _mxu_supported(k):
+        lo = _consecutive_lo(keys)
+        if lo is not None:
+            # fused single-pass kernel: scan + interleave in-register,
+            # no (k, W) bits round-trip (measured vs the two-kernel
+            # path in bench_results/linear_v5e_512m.csv)
+            out, _ = interval_scan_linear_words_tiles(
+                dev.tiles, lo, k, dev.width, dev.n, tb=tb,
+                interpret=interpret,
+            )
+            return out
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
     nbytes = (dev.n + 7) // 8
     if _mxu_supported(k):
@@ -444,6 +457,155 @@ def shared_scan_linear_words_device(
     return jax.lax.bitcast_convert_type(
         out.reshape(-1, 4), jnp.uint32
     )
+
+
+def _interval_linear_kernel(
+    off_ref, lo_ref, perm_ref, in_ref, out_ref, cnt_ref,
+    *, width, tb, n, k, gateless, dot,
+):
+    """FUSED interval scan + MXU linear interleave, one grid step:
+    block tile i -> (tb, 128k) linear words + count partials.
+
+    Builds the k per-key word rows exactly like the single-chunk
+    interval kernel (SWAPMOVE bit transpose of one-hot mask bytes), then
+    interleaves them in-register (linear._mxu_interleave_rows) — the
+    (k, W) bits never round-trip through HBM (saves 2*k*W*4 bytes of
+    traffic vs scan-then-relayout and overlaps the scan's VPU work with
+    the permutation dots).  The validity word is ANDed unconditionally
+    (span-kernel discipline: one op per row beats duplicating the whole
+    body under pl.when)."""
+    from shared_simd_scan_tpu.ops.linear import _mxu_interleave_rows
+
+    i = pl.program_id(0)
+    lo = lo_ref[0, 0]
+    if k > 8:
+        ms = [
+            _onehot32(v - lo, gateless)
+            for _, v in _unpack_block_values(in_ref, width)
+        ]
+    rounds = (k + 7) // 8
+    rows = []
+    for c8 in range(rounds):
+        byte = c8 % 4
+        x = []
+        for t in range(8):
+            acc = None
+            for g in range(4):
+                r = 8 * g + t
+                if k > 8:
+                    m = ms[r]
+                else:
+                    m = _onehot32(_unpack_value_at(in_ref, width, r) - lo,
+                                  gateless)
+                mb = _mask_byte(m, byte, g)
+                acc = mb if acc is None else acc | mb
+            x.append(acc)
+        rows.extend(_transpose8x8_bytes(x)[: min(8, k - 8 * c8)])
+
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+    valid = jnp.where(
+        blk < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(blk == full, jnp.uint32((1 << rem) - 1 if rem else 0),
+                  jnp.uint32(0)),
+    )
+    rows = [r & valid for r in rows]
+    for j, r in enumerate(rows):
+        cnt_ref[0, j] = jnp.sum(
+            jax.lax.population_count(r).astype(jnp.int32), axis=0
+        )
+    out_ref[...] = _mxu_interleave_rows(rows, perm_ref[...], k, dot)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "width", "n", "tb", "interpret", "gateless", "dot"),
+)
+def _interval_linear_tiles_impl(
+    tiles, lo, k, width, n, tb, interpret, gateless, dot
+):
+    from shared_simd_scan_tpu.ops.linear import _perm_matrix
+
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    # VMEM per sublane row: in 2*width words, out 2*128k words, one-hot
+    # masks (32 when materialized) + quad/plane/dot transients (~3*128k
+    # equivalents across z2/d/acc) — conservative static budget with the
+    # resident perm ((128k)^2) subtracted from the 12 MB pool.
+    perm_bytes = (128 * k) ** 2 * (1 if dot == "s8" else 2)
+    per_tb = 512 * (2 * width + (32 if k > 8 else 12)) + 128 * k * 4 * 5
+    cap = max(8, ((12_000_000 - perm_bytes) // per_tb) // 8 * 8)
+    tb = _pick_tb(b1, tb if tb is not None else min(128, cap))
+    lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
+    off = jnp.zeros((1, 1), jnp.int32)
+    perm = _perm_matrix(k, dot)
+    out, cnt = pl.pallas_call(
+        functools.partial(
+            _interval_linear_kernel,
+            width=width, tb=tb, n=n, k=k, gateless=gateless, dot=dot,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b1, 128 * k), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=(b1 // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (LANES * k, LANES * k), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tb, 128 * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(off, lo2, perm, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return out, counts
+
+
+def interval_scan_linear_words_tiles(
+    tiles: jax.Array,
+    lo: jax.Array,
+    k: int,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    dot: str = "s8",
+) -> tuple[jax.Array, jax.Array]:
+    """Fused interval shared scan -> (uint32[nbytes*k/4] linear words,
+    (k,) uint32 counts) for the consecutive keys lo..lo+k-1 (traced lo
+    fine; k must satisfy linear._mxu_supported).
+
+    Single pass over the packed column: the per-key bitvector words are
+    built and byte-interleaved in-register, never written to HBM in
+    (k, W) form.  ``dot`` picks the MXU format ("s8" default: int8 dots
+    measured 1.33x the bf16 relayout rate on v5e)."""
+    from shared_simd_scan_tpu.ops.linear import _mxu_supported
+
+    if not _mxu_supported(k):
+        raise ValueError(f"fused linear interval scan needs k in 4/8/12/16, got {k}")
+    gateless = shift_saturates(interpret)
+    out, counts = _interval_linear_tiles_impl(
+        tiles, lo, k, width, n, tb, interpret, gateless, dot
+    )
+    nwords = ((n + 7) // 8) * k // 4
+    return out.reshape(-1)[:nwords], counts
 
 
 def popcount_bits(bits: jax.Array) -> jax.Array:
@@ -461,6 +623,7 @@ __all__ = [
     "scan_device",
     "shared_scan_linear_device",
     "shared_scan_linear_words_device",
+    "interval_scan_linear_words_tiles",
     "histogram_tiles",
     "histogram_dag_tiles",
     "histogram_device",

@@ -503,13 +503,67 @@ def test_interleave_mxu_matches_byte_oracle():
     for k, w in ((4, 257), (8, 1024), (12, 77), (16, 130), (8, 9_000)):
         bits = rng.integers(0, 2**32, size=(k, w), dtype=np.uint32)
         nbytes = w * 4 - 3
-        got = np.asarray(
-            linear_ops.interleave_mxu_tiles(
-                jnp.asarray(bits), nbytes, interpret=True
-            )
-        )
         exp = bits.view(np.uint8).reshape(k, -1)[:, :nbytes].T.reshape(-1)
-        np.testing.assert_array_equal(got, exp)
+        for dot in ("bf16", "f32", "s8"):
+            got = np.asarray(
+                linear_ops.interleave_mxu_tiles(
+                    jnp.asarray(bits), nbytes, interpret=True, dot=dot
+                )
+            )
+            np.testing.assert_array_equal(got, exp, err_msg=f"{k=} {dot=}")
+
+
+@pytest.mark.parametrize("k", [4, 8, 16])
+@pytest.mark.parametrize("dot", ["bf16", "s8"])
+def test_fused_interval_linear_matches_oracle(k, dot):
+    # fused scan+interleave kernel: linear words + counts must match the
+    # two-kernel path's byte contract and the numpy oracle, including
+    # the n tail (bits past n zero) and out-of-domain key rows
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(31)
+    n = 40_000 - 7
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, 9))
+    lo = 500  # keys 500..500+k-1 spill past the 9-bit domain for k>12
+    words, counts = scan_ops.interval_scan_linear_words_tiles(
+        dev.tiles, lo, k, 9, n, interpret=True, dot=dot
+    )
+    nbytes = (n + 7) // 8
+    exp_bits = np.zeros((k, nbytes * 8), np.uint8)
+    for j in range(k):
+        if lo + j < 512:
+            exp_bits[j, :n] = vals == lo + j
+    exp_lin = np.packbits(
+        exp_bits.reshape(k, nbytes, 8), axis=-1, bitorder="little"
+    ).reshape(k, nbytes).T.reshape(-1)
+    got = np.asarray(words).view(np.uint8)[: nbytes * k]
+    np.testing.assert_array_equal(got, exp_lin)
+    np.testing.assert_array_equal(
+        np.asarray(counts), exp_bits.sum(axis=1).astype(np.uint32)
+    )
+
+
+def test_linear_words_device_dispatches_fused_consecutive():
+    # concrete consecutive keys must produce the same words through the
+    # dispatcher (fused kernel) as through the two-kernel fallback path
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(17)
+    n = 9_000
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, 9))
+    keys = np.arange(37, 45, dtype=np.uint32)
+    got = np.asarray(
+        scan_ops.shared_scan_linear_words_device(dev, keys, interpret=True)
+    )
+    bits, _ = scan_ops.shared_scan_device(dev, keys, interpret=True)
+    nbytes = (n + 7) // 8
+    exp = np.asarray(
+        linear_ops.interleave_mxu_words(bits, nbytes * 8 // 4, interpret=True)
+    )
+    np.testing.assert_array_equal(got, exp)
 
 
 def test_interleave_xla_mxu_matches_byte_oracle():

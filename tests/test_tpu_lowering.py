@@ -411,14 +411,15 @@ def test_lower_zonemap_pruned_scan(dev):
 
 
 @pytest.mark.parametrize("k", [4, 8, 16])
-def test_lower_interleave_mxu(dev, k):
-    """MXU permutation relayout: iota-built 0/1 matrices + bf16 dots."""
+@pytest.mark.parametrize("dot", ["bf16", "s8"])
+def test_lower_interleave_mxu(dev, k, dot):
+    """MXU permutation relayout: operand 0/1 matrices + bf16/int8 dots."""
     from shared_simd_scan_tpu.ops import linear as linear_ops
 
     W = layout.bitvector_words(N)
 
     def f(bits):
-        return linear_ops.interleave_mxu_tiles(bits, (N + 7) // 8)
+        return linear_ops.interleave_mxu_tiles(bits, (N + 7) // 8, dot=dot)
 
     export_tpu(f, jax.ShapeDtypeStruct((k, W), jnp.uint32))
 
