@@ -525,7 +525,7 @@ def _interval_linear_kernel(
     static_argnames=("k", "width", "n", "tb", "interpret", "gateless", "dot"),
 )
 def _interval_linear_tiles_impl(
-    tiles, lo, k, width, n, tb, interpret, gateless, dot
+    tiles, lo, k, width, n, tb, interpret, gateless, dot, block_offset=0
 ):
     from shared_simd_scan_tpu.ops.linear import _perm_matrix
 
@@ -540,7 +540,7 @@ def _interval_linear_tiles_impl(
     cap = max(8, ((12_000_000 - perm_bytes) // per_tb) // 8 * 8)
     tb = _pick_tb(b1, tb if tb is not None else min(128, cap))
     lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
-    off = jnp.zeros((1, 1), jnp.int32)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     perm = _perm_matrix(k, dot)
     out, cnt = pl.pallas_call(
         functools.partial(
@@ -587,6 +587,8 @@ def interval_scan_linear_words_tiles(
     tb: int | None = None,
     interpret: bool = False,
     dot: str = "s8",
+    block_offset: jax.Array | int = 0,
+    flat: bool = True,
 ) -> tuple[jax.Array, jax.Array]:
     """Fused interval shared scan -> (uint32[nbytes*k/4] linear words,
     (k,) uint32 counts) for the consecutive keys lo..lo+k-1 (traced lo
@@ -595,15 +597,19 @@ def interval_scan_linear_words_tiles(
     Single pass over the packed column: the per-key bitvector words are
     built and byte-interleaved in-register, never written to HBM in
     (k, W) form.  ``dot`` picks the MXU format ("s8" default: int8 dots
-    measured 1.33x the bf16 relayout rate on v5e)."""
+    measured 1.33x the bf16 relayout rate on v5e).  ``flat=False``
+    returns the device-tile form (b1, 128k) unsliced — the shard-local
+    shape the sharded wrapper stitches along the block axis."""
     from shared_simd_scan_tpu.ops.linear import _mxu_supported
 
     if not _mxu_supported(k):
         raise ValueError(f"fused linear interval scan needs k in 4/8/12/16, got {k}")
     gateless = shift_saturates(interpret)
     out, counts = _interval_linear_tiles_impl(
-        tiles, lo, k, width, n, tb, interpret, gateless, dot
+        tiles, lo, k, width, n, tb, interpret, gateless, dot, block_offset
     )
+    if not flat:
+        return out, counts
     nwords = ((n + 7) // 8) * k // 4
     return out.reshape(-1)[:nwords], counts
 

@@ -357,6 +357,52 @@ def sharded_interval_scan(
 
 
 @functools.partial(
+    jax.jit, static_argnames=("mesh", "k", "width", "n", "tb", "interpret")
+)
+def _sharded_linear_scan_tiles(
+    tiles, lo, *, mesh, k, width, n, tb, interpret
+):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, lo_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        out, cnt = scan_ops.interval_scan_linear_words_tiles(
+            tiles_l, lo_l, k, width, n, tb=tb, interpret=interpret,
+            block_offset=off, flat=False,
+        )
+        return out, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, lo)
+
+
+def sharded_linear_scan(
+    dev: DeviceColumn, lo, k: int, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded FUSED linear export (interval keys lo..lo+k-1): each
+    shard runs the single-pass scan+MXU-interleave kernel on its block
+    range (scan_ops.interval_scan_linear_words_tiles) and the linear
+    word stream comes out block-sharded along the row axis — shard s
+    holds the linear bytes of value groups [s*local_blocks*32*4, ...),
+    a CONTIGUOUS span of the global linear stream, so per-shard host
+    export needs no collective at all.  Counts are psum-reduced.
+    Returns (uint32[nbytes*k/4] linear words, (k,) uint32 counts)."""
+    lo = jnp.asarray(lo, jnp.uint32)
+    out, counts = _sharded_linear_scan_tiles(
+        dev.tiles, lo, mesh=mesh, k=k, width=dev.width, n=dev.n, tb=tb,
+        interpret=interpret,
+    )
+    nwords = ((dev.n + 7) // 8) * k // 4
+    return out.reshape(-1)[:nwords], counts
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "width", "n", "tb", "interpret")
 )
 def _sharded_range_scan_tiles(tiles, lows, highs, *, mesh, width, n, tb, interpret):

@@ -85,6 +85,25 @@ def test_sharded_interval_scan_parity(mesh):
     )
 
 
+def test_sharded_linear_scan_parity(mesh):
+    # the fused linear export sharded along the block axis must produce
+    # the exact single-chip linear word stream (shard spans concatenate
+    # contiguously) and psum'd counts
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    width, n, k = 9, 60_000 - 11, 8
+    vals, col = _col(width, n, seed=27)
+    dev = layout.to_device(col)
+    sdev = dist.shard_column(dev, mesh)
+    lo = 200
+    words, counts = dist.sharded_linear_scan(sdev, lo, k, mesh, interpret=True)
+    ew, ec = scan_ops.interval_scan_linear_words_tiles(
+        dev.tiles, lo, k, width, n, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(words), np.asarray(ew))
+    np.testing.assert_array_equal(np.asarray(counts), np.asarray(ec))
+
+
 def test_sharded_range_scan_parity(mesh):
     width, n = 9, 50_000
     vals, col = _col(width, n, seed=22)

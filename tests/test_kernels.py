@@ -513,9 +513,9 @@ def test_interleave_mxu_matches_byte_oracle():
             np.testing.assert_array_equal(got, exp, err_msg=f"{k=} {dot=}")
 
 
-@pytest.mark.parametrize("k", [4, 8, 16])
+@pytest.mark.parametrize("k,width", [(4, 9), (8, 9), (16, 9), (8, 13)])
 @pytest.mark.parametrize("dot", ["bf16", "s8"])
-def test_fused_interval_linear_matches_oracle(k, dot):
+def test_fused_interval_linear_matches_oracle(k, width, dot):
     # fused scan+interleave kernel: linear words + counts must match the
     # two-kernel path's byte contract and the numpy oracle, including
     # the n tail (bits past n zero) and out-of-domain key rows
@@ -524,15 +524,15 @@ def test_fused_interval_linear_matches_oracle(k, dot):
     rng = np.random.default_rng(31)
     n = 40_000 - 7
     vals = rng.integers(0, 512, n, dtype=np.uint32)
-    dev = layout.to_device(layout.pack(vals, 9))
+    dev = layout.to_device(layout.pack(vals, width))
     lo = 500  # keys 500..500+k-1 spill past the 9-bit domain for k>12
     words, counts = scan_ops.interval_scan_linear_words_tiles(
-        dev.tiles, lo, k, 9, n, interpret=True, dot=dot
+        dev.tiles, lo, k, width, n, interpret=True, dot=dot
     )
     nbytes = (n + 7) // 8
     exp_bits = np.zeros((k, nbytes * 8), np.uint8)
     for j in range(k):
-        if lo + j < 512:
+        if lo + j < (1 << width):
             exp_bits[j, :n] = vals == lo + j
     exp_lin = np.packbits(
         exp_bits.reshape(k, nbytes, 8), axis=-1, bitorder="little"
