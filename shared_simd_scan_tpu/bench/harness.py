@@ -900,20 +900,31 @@ def bench_linear(
     width: int = DEFAULT_WIDTH,
 ):
     """Linear (interleaved byte) shared-scan driver (C10 parity surface,
-    simd_scan_shared_linear.cpp:9-82): the kernel pass plus the XLA
-    relayout to ``out[group*k + key]`` byte order, against a comparator
-    running the SAME kernel and full-output consume over the native
-    (k, W) layout — the delta is the interleave relayout, an
-    export-format cost on TPU (the lane-spread permutation it needs is
-    not expressible in Mosaic; see DESIGN §4)."""
+    simd_scan_shared_linear.cpp:9-82): the fused single-pass
+    scan+MXU-interleave kernel (int8 permutation dots — DESIGN §3), the
+    two-kernel u8-view path, and a comparator running the same kernel
+    pass + full-output consume over the native (k, W) layout — the
+    delta to the comparator is the true export cost."""
     n = values_for(data_size, width)
     vals = synth_modk(n, k, width)
     dev = unpack_ops.pack_device_kernel(vals, width)
     roof = hbm_peak_bytes_per_s()
     traffic = packed_nbytes(width, n) + k * layout.bitvector_words(n) * 4
-    variants = [
+    from shared_simd_scan_tpu.ops.linear import _mxu_supported
+
+    fused_rows = [
         (
-            f"pallas linear shared scan k={k} (interleaved bytes)",
+            f"pallas fused linear shared scan k={k} (s8 MXU interleave)",
+            chain_linear_shared_scan,
+            (dev.tiles,),
+            dict(width=width, n=n, tb=None, kk=k, relayout="fused"),
+            traffic,
+            dict(est_iter_s=traffic / 150e9),
+        ),
+    ] if _mxu_supported(k) else []
+    variants = fused_rows + [
+        (
+            f"pallas linear shared scan k={k} (two-kernel u8 view)",
             chain_linear_shared_scan,
             (dev.tiles,),
             dict(width=width, n=n, tb=None, kk=k),
