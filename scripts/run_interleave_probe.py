@@ -35,6 +35,9 @@ def main(argv):
             k = int(a.split("=", 1)[1])
         elif a.startswith("--w="):
             W = int(a.split("=", 1)[1])
+    # cap the (k, W) working set at ~1 GiB so large-k probes fit on-chip
+    # (in + out + chain headroom); GB/s stays comparable, regime noted
+    W = min(W, (1 << 28) // k)
     rng = np.random.default_rng(1)
     bits = jnp.asarray(
         rng.integers(0, 1 << 31, size=(k, W), dtype=np.uint32)
@@ -55,7 +58,18 @@ def main(argv):
              b, nwords, tw=128, dot="s8")),
         ("xla-mxu-words",
          lambda b: linear_ops.interleave_xla_mxu_words(b, nwords)),
+        # the chunked XLA stack: its cost is the 128/k-x padded minor-dim
+        # stack, which VANISHES as k approaches the 128-lane tile — probe
+        # with --variant=stack at k=8/32/128 to map the large-k floor
+        ("xla-stack",
+         lambda b: linear_ops.interleave_xla_stack(b, nbytes)),
     ]
+    want = None
+    for a in argv:
+        if a.startswith("--variant="):
+            want = a.split("=", 1)[1]
+    if want:
+        variants = [v for v in variants if want in v[0]]
     for name, fn in variants:
         @functools.partial(jax.jit, static_argnames=("k",))
         def chain(b, salt, k, fn=fn):
