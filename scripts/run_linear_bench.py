@@ -42,6 +42,7 @@ def _t(fn):
 
 def main(argv):
     out_path, data_size, k, reps = "bench_results/linear_v5e_512m.csv", "512m", 8, 3
+    skip = []
     for a in argv:
         if a.startswith("--data-size="):
             data_size = a.split("=", 1)[1]
@@ -49,6 +50,12 @@ def main(argv):
             k = int(a.split("=", 1)[1])
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a.startswith("--skip="):
+            # e.g. --skip=stack,host — the k=32 full-size stack chain
+            # crashed the TPU worker (padded-intermediate blowup class);
+            # its floor is probe-measured instead (run_interleave_probe
+            # --variant=stack: 5-6 GB/s FLAT in k at a capped working set)
+            skip = a.split("=", 1)[1].split(",")
         else:
             out_path = a
     size = parse_size(data_size)
@@ -80,13 +87,17 @@ def main(argv):
 
     traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
     rows = []
-    variants = [
+    from shared_simd_scan_tpu.ops.linear import _mxu_supported
+
+    variants = ([
         ("linear-fused-s8", harness.chain_linear_shared_scan,
          {"relayout": "fused"},
          "fused single-pass scan+interleave, int8 MXU dots (consecutive keys)"),
+    ] if _mxu_supported(k) else []) + [
         ("linear-mxu-words", harness.chain_linear_shared_scan,
          {"relayout": "words"},
-         "two-kernel export: traced-keys scan + s8 MXU relayout"),
+         "two-kernel export: traced-keys scan + s8 MXU relayout"
+         + ("" if _mxu_supported(k) else "; hierarchical 2-level interleave")),
         ("linear-mxu-u8view", harness.chain_linear_shared_scan,
          {"relayout": "dispatch"},
          "adds the u8 device view: 16.5x-padded bitcast materialization"),
@@ -96,6 +107,7 @@ def main(argv):
         ("native-kW-comparator", harness.chain_linear_baseline_shared_scan, {},
          "device rows include a full-output consume pass"),
     ]
+    variants = [v for v in variants if not any(s in v[0] for s in skip)]
     for name, chain, extra, note in variants:
         m = measure_loop(
             functools.partial(chain, width=WIDTH, n=n, tb=None, kk=k, **extra),

@@ -126,6 +126,150 @@ def _perm_matrix(k: int, dot: str) -> jax.Array:
     ).astype(pdt).reshape(LANES * k, LANES * k)
 
 
+def _word_perm_matrix(m: int, g: int, dot: str) -> jax.Array:
+    """0/1 permutation for interleaving m word streams at g-word
+    granularity: out word w' = q*(m*g) + s*g + r takes stream s word
+    q*g + r.  P[s*128+e, f] = 1 iff s == (f % (m*g)) // g and
+    e == (f // (m*g))*g + (f % (m*g)) % g.  Requires g | 128 (the
+    (tw, 128m) output tile is then self-contained in the (m, tw, 128)
+    input tile).  g=1, m=k reduces to the byte-mix case's word map."""
+    assert 128 % g == 0
+    s = jnp.arange(m, dtype=jnp.int32)
+    e = jnp.arange(LANES, dtype=jnp.int32)
+    f = jnp.arange(LANES * m, dtype=jnp.int32)
+    fs = (f % (m * g)) // g
+    fe = (f // (m * g)) * g + (f % (m * g)) % g
+    pdt = {"bf16": jnp.bfloat16, "f32": jnp.float32, "s8": jnp.int8}[dot]
+    return (
+        (fs[None, None, :] == s[:, None, None])
+        & (fe[None, None, :] == e[None, :, None])
+    ).astype(pdt).reshape(LANES * m, LANES * m)
+
+
+def _interleave_streams_kernel(perm_ref, in_ref, out_ref, *, m, dot):
+    """One grid step: (m, tw, 128) u32 word streams -> (tw, 128m)
+    interleaved words via the plane dots alone (no byte quads — the
+    streams are already byte-correct; only their WORDS interleave)."""
+    rows = [in_ref[j] for j in range(m)]
+    perm = perm_ref[...]
+    nplanes, pbits, mask = (2, 16, 0xFFFF) if dot == "f32" else (4, 8, 0xFF)
+    acc = None
+    for p in range(nplanes):
+        if dot == "s8":
+            planes = [
+                (
+                    ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
+                    .astype(jnp.int32)
+                    - 128
+                ).astype(jnp.int8)
+                for z in rows
+            ]
+        else:
+            planes = [
+                ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
+                .astype(jnp.int32)
+                .astype(perm.dtype)
+                for z in rows
+            ]
+        z2 = jnp.concatenate(planes, axis=1)
+        d = jax.lax.dot_general(
+            z2, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=(
+                jnp.int32 if dot == "s8" else jnp.float32
+            ),
+        )
+        if dot == "s8":
+            part = (d + 128).astype(jnp.uint32) << jnp.uint32(pbits * p)
+        else:
+            part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
+                pbits * p
+            )
+        acc = part if acc is None else acc | part
+    out_ref[...] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("g", "nwords", "tw", "interpret", "dot")
+)
+def interleave_streams_mxu_words(
+    streams: jax.Array, g: int, nwords: int, tw: int | None = None,
+    interpret: bool = False, dot: str = "s8",
+) -> jax.Array:
+    """(m, M) uint32 word streams -> uint32[nwords]: out word
+    q*(m*g) + s*g + r = stream s word q*g + r (g-word granularity
+    round-robin).  The level-2 pass of the HIERARCHICAL large-k linear
+    interleave: k keys split into groups of 8, each group interleaved by
+    the byte-level kernel (its output holds bytes b*8+c), then the group
+    streams interleave at g=2 words (8 bytes per group per 8-value
+    block).  MACs per output word are 128m vs the direct formulation's
+    128k — 2.7x (k=32) / 4x (k=64) fewer total, and the per-dot perm
+    stays VMEM-resident ((128m)^2 <= 1 MB s8 at m=8 where direct k=64
+    would need 16 MB)."""
+    m, M = streams.shape
+    assert 128 % g == 0
+    tw = tw or 256
+    m128 = -(-M // 128)
+    rows = -(-m128 // tw) * tw
+    pad = rows * 128 - M
+    if pad:
+        streams = jnp.concatenate(
+            [streams, jnp.zeros((m, pad), jnp.uint32)], axis=1
+        )
+    inb = streams.reshape(m, rows, 128)
+    perm = _word_perm_matrix(m, g, dot)
+    out = pl.pallas_call(
+        functools.partial(_interleave_streams_kernel, m=m, dot=dot),
+        out_shape=jax.ShapeDtypeStruct((rows, 128 * m), jnp.uint32),
+        grid=(rows // tw,),
+        in_specs=[
+            pl.BlockSpec(
+                (LANES * m, LANES * m), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (m, tw, 128), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tw, 128 * m), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        interpret=interpret,
+    )(perm, inb)
+    return out.reshape(-1)[:nwords]
+
+
+def _mxu_large_supported(k: int) -> bool:
+    """Hierarchical interleave: key groups of 8 (byte-level kernel) +
+    one g=2-word stream interleave.  m = k/8 streams; the stream perm is
+    (128m)^2 <= 4 MB s8 at k=128 where the DIRECT formulation's would
+    be 256 MB."""
+    return k % 8 == 0 and 24 <= k <= 128
+
+
+def interleave_mxu_words_large(
+    bits: jax.Array, nbytes: int, interpret: bool = False, dot: str = "s8"
+) -> jax.Array:
+    """(k, W) bitvectors -> uint32[nbytes*k/4] linear words for large k
+    via the two-level hierarchy (see interleave_streams_mxu_words):
+    128k MACs/word direct becomes 1024 + 128m — 2.7x (k=32) to 6.4x
+    (k=128) fewer, and every perm stays small.  Measured floors in
+    bench_results/linear_v5e_512m.csv."""
+    k, w = bits.shape
+    assert _mxu_large_supported(k)
+    m = k // 8
+    nwords_g = -(-nbytes * 8 // 4)
+    groups = [
+        interleave_mxu_words(
+            bits[8 * G : 8 * G + 8], nwords_g, interpret=interpret, dot=dot
+        )
+        for G in range(m)
+    ]
+    streams = jnp.stack(groups)
+    return interleave_streams_mxu_words(
+        streams, 2, nbytes * k // 4, interpret=interpret, dot=dot
+    )
+
+
 def _interleave_mxu_kernel(
     perm_ref, in_ref, out_ref, *, k: int, tw: int, dot: str = "bf16"
 ):
@@ -329,16 +473,24 @@ def interleave_device(
     bits: jax.Array, nbytes: int, interpret: bool = False
 ) -> jax.Array:
     """Dispatch: MXU permutation kernel where legal (k % 4 == 0,
-    4 <= k <= 16), XLA stack otherwise."""
+    4 <= k <= 16), hierarchical MXU for k % 8 == 0 up to 128, XLA stack
+    otherwise."""
     k = int(bits.shape[0])
     if _mxu_supported(k):
         return interleave_mxu_tiles(bits, nbytes, interpret=interpret)
+    if _mxu_large_supported(k):
+        words = interleave_mxu_words_large(bits, nbytes, interpret=interpret)
+        return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)[
+            : nbytes * k
+        ]
     return interleave_xla_stack(bits, nbytes)
 
 
 __all__ = [
     "interleave_mxu_words",
     "interleave_mxu_tiles",
+    "interleave_mxu_words_large",
+    "interleave_streams_mxu_words",
     "interleave_xla_mxu",
     "interleave_xla_stack",
     "interleave_device",

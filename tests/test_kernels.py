@@ -566,6 +566,68 @@ def test_linear_words_device_dispatches_fused_consecutive():
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("m,g", [(4, 2), (3, 2), (8, 2), (4, 128)])
+def test_interleave_streams_matches_numpy(m, g):
+    # g-word round-robin stream interleave (the hierarchical level-2
+    # pass) vs a direct numpy reshape oracle, ragged lengths included
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(23)
+    M = 1000
+    streams = rng.integers(0, 2**32, size=(m, M), dtype=np.uint32)
+    nwords = m * M - 5
+    got = np.asarray(
+        linear_ops.interleave_streams_mxu_words(
+            jnp.asarray(streams), g, nwords, interpret=True
+        )
+    )
+    Mp = -(-M // g) * g
+    sp = np.zeros((m, Mp), np.uint32)
+    sp[:, :M] = streams
+    exp = sp.reshape(m, Mp // g, g).transpose(1, 0, 2).reshape(-1)[:nwords]
+    np.testing.assert_array_equal(got, exp)
+
+
+@pytest.mark.parametrize("k", [24, 32, 64])
+def test_interleave_mxu_large_matches_byte_oracle(k):
+    # hierarchical large-k interleave: byte-level groups of 8 + g=2 word
+    # stream pass must reproduce the exact linear byte contract
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(29)
+    w = 700
+    bits = rng.integers(0, 2**32, size=(k, w), dtype=np.uint32)
+    nbytes = w * 4 - 3
+    words = np.asarray(
+        linear_ops.interleave_mxu_words_large(
+            jnp.asarray(bits), nbytes, interpret=True
+        )
+    )
+    exp = bits.view(np.uint8).reshape(k, -1)[:, :nbytes].T.reshape(-1)
+    got = words.view(np.uint8)[: nbytes * k]
+    np.testing.assert_array_equal(got, exp)
+
+
+def test_linear_words_device_large_k_dispatch():
+    # the words dispatcher must route k=32 concrete keys through the
+    # hierarchical tier and agree with the stack fallback's bytes
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    rng = np.random.default_rng(41)
+    n = 9_000
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, 9))
+    keys = ((np.arange(32, dtype=np.uint32) * 37 + 5) % 512)
+    got = np.asarray(
+        scan_ops.shared_scan_linear_words_device(dev, keys, interpret=True)
+    )
+    bits, _ = scan_ops.shared_scan_device(dev, keys, interpret=True)
+    nbytes = (n + 7) // 8
+    exp = np.asarray(linear_ops.interleave_xla_stack(bits, nbytes))
+    np.testing.assert_array_equal(got.view(np.uint8), exp)
+
+
 def test_interleave_xla_mxu_matches_byte_oracle():
     # the XLA-native matmul twin of the Pallas MXU relayout (diagnostic
     # + alternate dispatch target) must be bit-exact on ragged shapes

@@ -424,6 +424,20 @@ def test_lower_interleave_mxu(dev, k, dot):
     export_tpu(f, jax.ShapeDtypeStruct((k, W), jnp.uint32))
 
 
+@pytest.mark.parametrize("k", [32, 64])
+def test_lower_interleave_mxu_large(dev, k):
+    """Hierarchical large-k interleave: 8-key byte groups + g=2 stream
+    pass, both Pallas kernels with s8 dots."""
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    W = layout.bitvector_words(N)
+
+    def f(bits):
+        return linear_ops.interleave_mxu_words_large(bits, (N + 7) // 8)
+
+    export_tpu(f, jax.ShapeDtypeStruct((k, W), jnp.uint32))
+
+
 @pytest.mark.parametrize("wm", [9, 16, 31])
 def test_lower_aggregate_bitplane_static(dev, wm):
     vals = (np.arange(N, dtype=np.uint32) * 11 + 1) & ((1 << wm) - 1)
