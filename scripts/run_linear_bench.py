@@ -55,7 +55,7 @@ def main(argv):
             # crashed the TPU worker (padded-intermediate blowup class);
             # its floor is probe-measured instead (run_interleave_probe
             # --variant=stack: 5-6 GB/s FLAT in k at a capped working set)
-            skip = a.split("=", 1)[1].split(",")
+            skip = [s for s in a.split("=", 1)[1].split(",") if s]
         else:
             out_path = a
     size = parse_size(data_size)

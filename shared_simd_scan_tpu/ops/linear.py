@@ -53,6 +53,57 @@ def _mxu_supported(k: int) -> bool:
     return k % 4 == 0 and 4 <= k <= 16
 
 
+def _plane_dot_interleave(zs, perm, dot: str):
+    """THE plane-dot loop shared by every MXU interleave body: split the
+    uint32 vectors ``zs`` into exact planes, dot each against the 0/1
+    permutation, recombine.  Formats: "bf16" four u8 planes (exact
+    <= 255), "s8" four biased s8 planes through int8 dots (every output
+    column of P has exactly one 1, so d = v_perm - 128 exactly and the
+    bias adds straight back in int32; 2x the bf16 MXU rate on v5e),
+    "f32" two u16 planes — at Precision.HIGHEST, because the default
+    MXU f32 path truncates operands through bf16 passes and 16-bit
+    plane values would corrupt (the round-2 'f32 HIGHEST' lesson)."""
+    nplanes, pbits, mask = (2, 16, 0xFFFF) if dot == "f32" else (4, 8, 0xFF)
+    acc = None
+    for p in range(nplanes):
+        if dot == "s8":
+            planes = [
+                (
+                    ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
+                    .astype(jnp.int32)
+                    - 128
+                ).astype(jnp.int8)
+                for z in zs
+            ]
+        else:
+            planes = [
+                ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
+                .astype(jnp.int32)
+                .astype(perm.dtype)
+                for z in zs
+            ]
+        z2 = jnp.concatenate(planes, axis=1)  # (tw, 128m), 128-aligned
+        d = jax.lax.dot_general(
+            z2, perm, (((1,), (0,)), ((), ())),
+            preferred_element_type=(
+                jnp.int32 if dot == "s8" else jnp.float32
+            ),
+            precision=(
+                jax.lax.Precision.HIGHEST if dot == "f32" else None
+            ),
+        )
+        if dot == "s8":
+            part = (d + 128).astype(jnp.uint32) << jnp.uint32(pbits * p)
+        else:
+            # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then
+            # shift into plane position p
+            part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
+                pbits * p
+            )
+        acc = part if acc is None else acc | part
+    return acc
+
+
 def _mxu_interleave_rows(rows, perm, k: int, dot: str):
     """Shared MXU interleave body: k per-key (tw, 128) uint32 word tiles
     -> (tw, 128k) uint32 linear words via byte-quad SWAPMOVE mixing +
@@ -69,47 +120,7 @@ def _mxu_interleave_rows(rows, perm, k: int, dot: str):
         )
         for s in range(4):
             zs[s * (k // 4) + h] = q[s]
-
-    nplanes, pbits, mask = (2, 16, 0xFFFF) if dot == "f32" else (4, 8, 0xFF)
-    acc = None
-    for p in range(nplanes):
-        if dot == "s8":
-            # int8 MXU path (2x the bf16 rate on v5e): bias each byte
-            # plane into s8 range (v - 128 in [-128, 127]); every output
-            # column of P has exactly one 1, so d = v_perm - 128 exactly
-            # and the bias adds straight back in int32.
-            planes = [
-                (
-                    ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
-                    .astype(jnp.int32)
-                    - 128
-                ).astype(jnp.int8)
-                for z in zs
-            ]
-        else:
-            planes = [
-                ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
-                .astype(jnp.int32)
-                .astype(perm.dtype)
-                for z in zs
-            ]
-        z2 = jnp.concatenate(planes, axis=1)  # (tw, 128k), 128-aligned
-        d = jax.lax.dot_general(
-            z2, perm, (((1,), (0,)), ((), ())),
-            preferred_element_type=(
-                jnp.int32 if dot == "s8" else jnp.float32
-            ),
-        )
-        if dot == "s8":
-            part = (d + 128).astype(jnp.uint32) << jnp.uint32(pbits * p)
-        else:
-            # f32 -> i32 -> u32 (no f32<->u32 casts in Mosaic), then
-            # shift into plane position p
-            part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
-                pbits * p
-            )
-        acc = part if acc is None else acc | part
-    return acc
+    return _plane_dot_interleave(zs, perm, dot)
 
 
 def _perm_matrix(k: int, dot: str) -> jax.Array:
@@ -151,41 +162,7 @@ def _interleave_streams_kernel(perm_ref, in_ref, out_ref, *, m, dot):
     interleaved words via the plane dots alone (no byte quads — the
     streams are already byte-correct; only their WORDS interleave)."""
     rows = [in_ref[j] for j in range(m)]
-    perm = perm_ref[...]
-    nplanes, pbits, mask = (2, 16, 0xFFFF) if dot == "f32" else (4, 8, 0xFF)
-    acc = None
-    for p in range(nplanes):
-        if dot == "s8":
-            planes = [
-                (
-                    ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
-                    .astype(jnp.int32)
-                    - 128
-                ).astype(jnp.int8)
-                for z in rows
-            ]
-        else:
-            planes = [
-                ((z >> jnp.uint32(pbits * p)) & jnp.uint32(mask))
-                .astype(jnp.int32)
-                .astype(perm.dtype)
-                for z in rows
-            ]
-        z2 = jnp.concatenate(planes, axis=1)
-        d = jax.lax.dot_general(
-            z2, perm, (((1,), (0,)), ((), ())),
-            preferred_element_type=(
-                jnp.int32 if dot == "s8" else jnp.float32
-            ),
-        )
-        if dot == "s8":
-            part = (d + 128).astype(jnp.uint32) << jnp.uint32(pbits * p)
-        else:
-            part = d.astype(jnp.int32).astype(jnp.uint32) << jnp.uint32(
-                pbits * p
-            )
-        acc = part if acc is None else acc | part
-    out_ref[...] = acc
+    out_ref[...] = _plane_dot_interleave(rows, perm_ref[...], dot)
 
 
 @functools.partial(
@@ -207,7 +184,11 @@ def interleave_streams_mxu_words(
     would need 16 MB)."""
     m, M = streams.shape
     assert 128 % g == 0
-    tw = tw or 256
+    # VMEM: resident perm (128m)^2 + double-buffered (m, tw, 128) in and
+    # (tw, 128m) out + z2/d/acc transients (~3.2 KB x m per sublane row)
+    # — shrink the tile as m grows (m=16's set at tw=256 would exceed
+    # the 16 MB scoped limit; review finding)
+    tw = tw or (256 if m <= 8 else 128)
     m128 = -(-M // 128)
     rows = -(-m128 // tw) * tw
     pad = rows * 128 - M
@@ -246,6 +227,9 @@ def _mxu_large_supported(k: int) -> bool:
     return k % 8 == 0 and 24 <= k <= 128
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nbytes", "interpret", "dot")
+)
 def interleave_mxu_words_large(
     bits: jax.Array, nbytes: int, interpret: bool = False, dot: str = "s8"
 ) -> jax.Array:
@@ -344,6 +328,9 @@ def interleave_mxu_words(
     return out.reshape(-1)[:nwords]
 
 
+@functools.partial(
+    jax.jit, static_argnames=("nbytes", "tw", "interpret", "dot")
+)
 def interleave_mxu_tiles(
     bits: jax.Array, nbytes: int, tw: int | None = None,
     interpret: bool = False, dot: str = "s8",
@@ -383,12 +370,7 @@ def interleave_xla_mxu_words(bits: jax.Array, nwords: int) -> jax.Array:
         .transpose(1, 0, 2)
         .reshape(rows, 128 * k)
     )
-    e = jnp.arange(LANES, dtype=jnp.int32)
-    c = jnp.arange(k, dtype=jnp.int32)
-    f = jnp.arange(LANES * k, dtype=jnp.int32)
-    perm = (
-        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
-    ).astype(jnp.bfloat16).reshape(LANES * k, LANES * k)
+    perm = _perm_matrix(k, "bf16")
     acc = None
     for p in range(4):
         plane = ((in2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(
@@ -405,60 +387,16 @@ def interleave_xla_mxu_words(bits: jax.Array, nwords: int) -> jax.Array:
 
 @functools.partial(jax.jit, static_argnames=("nbytes",))
 def interleave_xla_mxu(bits: jax.Array, nbytes: int) -> jax.Array:
-    """XLA-native MXU formulation: the same byte-quad + permutation-
-    matmul algorithm as the Pallas kernel, but with XLA emitting the
-    matmul (diagnostic twin — if XLA's matmul is fast where the Pallas
+    """uint8 view of :func:`interleave_xla_mxu_words` (diagnostic twin
+    of the Pallas MXU kernel — if XLA's matmul is fast where the Pallas
     dot is slow, Mosaic is not placing the in-kernel dot on the MXU).
-
-    in2[R, c*128+e] = z_c[R*128+e] (one minor-128 transpose), then per
-    byte plane one (R, 128k) @ (128k, 128k) bf16 matmul against
-    P[c*128+e, e*k+c] = 1.  Every array keeps a 128k-lane minor dim
-    (layout-friendly, no padding) and the final u8 bitcast fuses into
-    the consumer — a lax.map-chunked first version forced the bitcast
-    to materialize as u8[rows,1024,4] with a 16x-padded layout and
-    OOM'd the chip at 512 MiB (measured)."""
-    from shared_simd_scan_tpu.ops.scan import _byte_transpose_quad
-
-    k, w = bits.shape
-    assert k % 4 == 0
-    rows = -(-w // 128)
-    pad = rows * 128 - w
-    if pad:
-        bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
-
-    zs = [None] * k
-    for h in range(k // 4):
-        q = _byte_transpose_quad(bits[4 * h], bits[4 * h + 1],
-                                 bits[4 * h + 2], bits[4 * h + 3])
-        for s in range(4):
-            zs[s * (k // 4) + h] = q[s]
-    in2 = (
-        jnp.stack(zs)  # (k, rows*128)
-        .reshape(k, rows, 128)
-        .transpose(1, 0, 2)  # minor dim stays 128
-        .reshape(rows, 128 * k)
-    )
-    e = jnp.arange(LANES, dtype=jnp.int32)
-    c = jnp.arange(k, dtype=jnp.int32)
-    f = jnp.arange(LANES * k, dtype=jnp.int32)
-    perm = (
-        f[None, None, :] == (e[None, :, None] * k + c[:, None, None])
-    ).astype(jnp.bfloat16).reshape(LANES * k, LANES * k)
-
-    acc = None
-    for p in range(4):
-        plane = ((in2 >> jnp.uint32(8 * p)) & jnp.uint32(0xFF)).astype(
-            jnp.bfloat16
-        )
-        d = jax.lax.dot_general(
-            plane, perm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        part = d.astype(jnp.uint32) << jnp.uint32(8 * p)
-        acc = part if acc is None else acc | part
-    return jax.lax.bitcast_convert_type(acc, jnp.uint8).reshape(-1)[
-        : nbytes * k
-    ]
+    The final u8 bitcast fuses into the consumer — a lax.map-chunked
+    first version forced the bitcast to materialize as u8[rows,1024,4]
+    with a 16x-padded layout and OOM'd the chip at 512 MiB (measured)."""
+    k = int(bits.shape[0])
+    total = nbytes * k
+    words = interleave_xla_mxu_words(bits, -(-total // 4))
+    return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(-1)[:total]
 
 
 def interleave_xla_stack(bits: jax.Array, nbytes: int) -> jax.Array:
@@ -469,12 +407,15 @@ def interleave_xla_stack(bits: jax.Array, nbytes: int) -> jax.Array:
     return _interleave_linear(bits, nbytes)
 
 
+@functools.partial(jax.jit, static_argnames=("nbytes", "interpret"))
 def interleave_device(
     bits: jax.Array, nbytes: int, interpret: bool = False
 ) -> jax.Array:
     """Dispatch: MXU permutation kernel where legal (k % 4 == 0,
     4 <= k <= 16), hierarchical MXU for k % 8 == 0 up to 128, XLA stack
-    otherwise."""
+    otherwise.  Jitted as ONE program: eager bitcast/slice over ~GB
+    buffers materializes every intermediate through the relay (the
+    CLAUDE.md eager-op trap; review finding)."""
     k = int(bits.shape[0])
     if _mxu_supported(k):
         return interleave_mxu_tiles(bits, nbytes, interpret=interpret)

@@ -543,9 +543,18 @@ def _interval_linear_tiles_impl(
     # masks (32 when materialized) + quad/plane/dot transients (~3*128k
     # equivalents across z2/d/acc) — conservative static budget with the
     # resident perm ((128k)^2) subtracted from the 12 MB pool.
-    perm_bytes = (128 * k) ** 2 * (1 if dot == "s8" else 2)
+    perm_bytes = (128 * k) ** 2 * {"s8": 1, "bf16": 2, "f32": 4}[dot]
     per_tb = 512 * (2 * width + (32 if k > 8 else 12)) + 128 * k * 4 * 5
-    cap = max(8, ((12_000_000 - perm_bytes) // per_tb) // 8 * 8)
+    headroom = 12_000_000 - perm_bytes
+    if headroom < 8 * per_tb:
+        # e.g. k=16 f32: the 16.8 MB perm alone exceeds scoped VMEM —
+        # reject at trace time instead of a hardware-only compile error
+        raise ValueError(
+            f"fused linear kernel VMEM budget: perm ({perm_bytes/1e6:.1f} MB"
+            f" at k={k}, dot={dot!r}) leaves no room for a tb=8 tile; use"
+            " dot='s8'/'bf16' or the two-kernel path"
+        )
+    cap = max(8, (headroom // per_tb) // 8 * 8)
     tb = _pick_tb(b1, tb if tb is not None else min(128, cap))
     lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
