@@ -165,13 +165,15 @@ def main(argv):
 
     rows = []
 
-    def emit(op, k, tb, meas, ops, steps, partials, extra_bytes, ok):
+    def emit(op, k, tb, meas, ops, steps, partials, extra_bytes, ok,
+             mxu_macs=0):
         rows.append({
             "op": op, "k": k, "tb": tb if tb else "auto",
             "ms": round(meas.millis, 4),
             "ops_per_value": round(ops, 2) if ops is not None else "",
             "hbm_bytes": pbytes + partials + extra_bytes,
             "grid_steps": steps, "n": n, "verified": ok,
+            "mxu_macs": int(mxu_macs),
         })
         print(f"{op} k={k} tb={tb or 'auto'}: {meas.millis:.3f} ms "
               f"ops/val={ops if ops is not None else '-'} steps={steps} "
@@ -303,6 +305,101 @@ def main(argv):
             est_iter_s=(pbytes + n / 8) / 400e9, salt0=salt0(("member", kk)),
         )
         emit("member-ortree", len(kt), None, m, ops, b1 // tbm, 0, n // 8, ok)
+
+    # --- linear export (MXU permutation dots; round-4 flagship) -----------
+    from shared_simd_scan_tpu.ops import linear as linear_ops
+
+    nbytes = (n + 7) // 8
+    W = layout.bitvector_words(n)
+    for kk in (8, 16):
+        # fused single-pass kernel: value-grid convention, so the plain
+        # per_value count applies; MACs = 4 planes x (b1*128k out elems
+        # per row-tile ... ) = 4 * b1 * 128k * 128k / (tiles) -> closed
+        # form 4 * b1 * 16384 * kk^2 (output rows = b1)
+        t = _tiny(WIDTH)
+        nt = t.shape[1] * 128 * 32
+        c = count_vector_ops(
+            lambda x: scan_ops._interval_linear_tiles_impl(
+                x, 0, kk, WIDTH, nt, None, False, True, "s8", 0
+            ),
+            t,
+        )
+        perm_bytes = (128 * kk) ** 2
+        per_tb = 512 * (2 * WIDTH + (32 if kk > 8 else 12)) + 128 * kk * 4 * 5
+        cap = max(8, ((12_000_000 - perm_bytes) // per_tb) // 8 * 8)
+        tbf = unpack_ops._pick_tb(b1, min(128, cap))
+        macs = 4 * b1 * 16384 * kk * kk
+        wv, cnt = scan_ops.interval_scan_linear_words_tiles(
+            pdev.tiles, 0, kk, WIDTH, n
+        )
+        ok = bool((np.asarray(cnt) == hist_full[:kk].astype(np.uint32)).all())
+        del wv
+        m = measure_loop(
+            functools.partial(
+                harness.chain_linear_shared_scan, width=WIDTH, n=n, tb=None,
+                kk=kk, relayout="fused",
+            ),
+            (pdev.tiles,), trials=reps,
+            est_iter_s=(pbytes + nbytes * kk) / 150e9,
+            salt0=salt0(("linfused", kk)),
+        )
+        emit("linear-fused-s8", kk, None, m, c["per_value"], b1 // tbf,
+             nbytes * kk + (b1 // tbf) * kk * LANES * 4, 0, ok, macs)
+
+    # hierarchical relayout on pre-made bits (k=32): word-grid kernels, so
+    # convert static eqn counts to per-VALUE via total element-ops / n
+    kk = 32
+    mH = kk // 8
+    bitsj = jnp.asarray(
+        rng.integers(0, 1 << 31, size=(kk, W), dtype=np.uint32)
+    )
+    tinyb = jnp.zeros((8, 8 * 128), jnp.uint32)
+    cb = count_vector_ops(
+        lambda x: linear_ops.interleave_mxu_words(x, 8 * 128 * 8), tinyb
+    )
+    tinys = jnp.zeros((mH, 8 * 128), jnp.uint32)
+    cs = count_vector_ops(
+        lambda x: linear_ops.interleave_streams_mxu_words(
+            x, 2, mH * 8 * 128
+        ),
+        tinys,
+    )
+    nwords_g = nbytes * 2
+    tw1 = 128  # interleave_mxu_words default for k=8
+    rows1 = -(-(-(-W // 128)) // tw1) * tw1
+    steps1 = mH * (rows1 // tw1)
+    tw2 = 256
+    rows2 = -(-(-(-nwords_g // 128)) // tw2) * tw2
+    steps2 = rows2 // tw2
+    # per_block IS the static eqn count; each eqn touches one (tw, 128)
+    # tile per grid step
+    elem_ops = (
+        cb["per_block"] * steps1 * tw1 * 128
+        + cs["per_block"] * steps2 * tw2 * 128
+    )
+    macs = (
+        4 * mH * rows1 * 128 * 8 * 128 * 8
+        + 4 * rows2 * 128 * mH * 128 * mH
+    )
+    hbm = 4 * W * kk * 4  # bits read + streams w+r + out write
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain_hier(b, salt, k):
+        def body(i, carry):
+            bb, acc = carry
+            bb = bb.at[0, 0].set(salt + jnp.uint32(i))
+            out = linear_ops.interleave_mxu_words_large(bb, nbytes)
+            return bb, acc + jnp.sum(out)
+        _, acc = jax.lax.fori_loop(0, k, body, (b, jnp.uint32(0)))
+        return acc
+
+    m = measure_loop(
+        chain_hier, (bitsj,), trials=reps,
+        est_iter_s=hbm / 60e9, salt0=salt0("linhier"),
+    )
+    emit("linear-hier-relayout-s8", kk, None, m, elem_ops / n,
+         steps1 + steps2, hbm - pbytes, 0, True, macs)
+    del bitsj
 
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

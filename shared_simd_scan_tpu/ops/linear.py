@@ -241,16 +241,21 @@ def interleave_mxu_words_large(
     k, w = bits.shape
     assert _mxu_large_supported(k)
     m = k // 8
-    nwords_g = -(-nbytes * 8 // 4)
+    # keep the level-1 outputs PADDED (rows1*1024 words each): slicing
+    # them to nbytes*2 and re-padding inside the stream kernel cost two
+    # extra full-size HBM copies (measured in the op-fit gap); padded
+    # words are zero and the final slice drops them
     groups = [
-        interleave_mxu_words(
-            bits[8 * G : 8 * G + 8], nwords_g, interpret=interpret, dot=dot
-        )
+        _interleave_mxu_call(
+            bits[8 * G : 8 * G + 8], None, dot, interpret
+        ).reshape(-1)
         for G in range(m)
     ]
     streams = jnp.stack(groups)
+    # rows1 is a multiple of 128, so the stream length rows1*1024 is
+    # 256-row aligned and the level-2 call pads nothing
     return interleave_streams_mxu_words(
-        streams, 2, nbytes * k // 4, interpret=interpret, dot=dot
+        streams, 2, nbytes * k // 4, tw=256, interpret=interpret, dot=dot
     )
 
 
@@ -293,6 +298,16 @@ def interleave_mxu_words(
     relayout vs bf16 on v5e, bit-exact on hardware), "bf16" (four u8
     planes, exact <= 255), "f32" (two u16 planes, exact <= 2^16 —
     measured equal to bf16: half the planes at half the rate)."""
+    return _interleave_mxu_call(
+        bits, tw, dot, interpret
+    ).reshape(-1)[:nwords]
+
+
+def _interleave_mxu_call(bits, tw, dot, interpret):
+    """The raw byte-level relayout call: (k, W) bits -> (rows, 128k)
+    PADDED output (padded input words are zero, so padded output words
+    are zero).  interleave_mxu_words slices it flat; the hierarchical
+    driver keeps it padded to avoid a per-group slice copy."""
     k, w = bits.shape
     assert _mxu_supported(k)
     assert dot in ("bf16", "f32", "s8")
@@ -307,7 +322,7 @@ def interleave_mxu_words(
         bits = jnp.concatenate([bits, jnp.zeros((k, pad), jnp.uint32)], axis=1)
     inb = bits.reshape(k, rows, 128)
     perm = _perm_matrix(k, dot)
-    out = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_interleave_mxu_kernel, k=k, tw=tw, dot=dot),
         out_shape=jax.ShapeDtypeStruct((rows, 128 * k), jnp.uint32),
         grid=(rows // tw,),
@@ -325,7 +340,6 @@ def interleave_mxu_words(
         ),
         interpret=interpret,
     )(perm, inb)
-    return out.reshape(-1)[:nwords]
 
 
 @functools.partial(

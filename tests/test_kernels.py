@@ -628,6 +628,44 @@ def test_linear_words_device_large_k_dispatch():
     np.testing.assert_array_equal(got.view(np.uint8), exp)
 
 
+def test_fuzz_linear_words_device():
+    # words-export dispatcher fuzz: every tier boundary (fused k<=16,
+    # hierarchical 24..128, stack fallback k=20), ragged n, widths
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(57)
+    for k, width, consec in (
+        (4, 7, True), (8, 9, False), (12, 11, True), (16, 9, False),
+        (24, 9, False), (32, 13, True), (20, 9, False),
+    ):
+        n = int(rng.integers(5_000, 30_000))
+        dom = 1 << width
+        vals = rng.integers(0, dom, n, dtype=np.uint32)
+        dev = layout.to_device(layout.pack(vals, width))
+        if consec:
+            lo = int(rng.integers(0, dom - k))
+            keys = np.arange(lo, lo + k, dtype=np.uint32)
+        else:
+            keys = np.unique(
+                rng.integers(0, dom, 4 * k, dtype=np.uint32)
+            )[:k]
+            assert len(keys) == k
+        words = np.asarray(
+            scan_ops.shared_scan_linear_words_device(dev, keys, interpret=True)
+        )
+        nbytes = (n + 7) // 8
+        eb = np.zeros((k, nbytes * 8), np.uint8)
+        for j, key in enumerate(keys):
+            eb[j, :n] = vals == key
+        exp = np.packbits(
+            eb.reshape(k, nbytes, 8), axis=-1, bitorder="little"
+        ).reshape(k, nbytes).T.reshape(-1)
+        np.testing.assert_array_equal(
+            words.view(np.uint8)[: nbytes * k], exp,
+            err_msg=f"{k=} {width=} {consec=} {n=}",
+        )
+
+
 def test_interleave_xla_mxu_matches_byte_oracle():
     # the XLA-native matmul twin of the Pallas MXU relayout (diagnostic
     # + alternate dispatch target) must be bit-exact on ragged shapes
