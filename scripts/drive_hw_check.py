@@ -173,6 +173,36 @@ np.testing.assert_array_equal(
     np.asarray(jax.device_get(zbits)), expect_words(zmask)
 )
 
+# 10b (round 4, second session). linear export ladder: fused single-pass
+# (k=8, s8 MXU dots), hierarchical two-level (k=32), dispatcher parity
+step("linear export (fused s8 + hierarchical)")
+from shared_simd_scan_tpu.ops import scan as _sc  # noqa: E402
+
+_nb = (N + 7) // 8
+
+
+def _lin_expect(keys):
+    eb = np.zeros((len(keys), _nb * 8), np.uint8)
+    for j, key in enumerate(keys):
+        eb[j, :N] = vals_np == key
+    return np.packbits(
+        eb.reshape(len(keys), _nb, 8), axis=-1, bitorder="little"
+    ).reshape(len(keys), _nb).T.reshape(-1), eb.sum(axis=1).astype(np.uint32)
+
+
+elin, ecnt = _lin_expect(range(100, 108))
+lw, lc = _sc.interval_scan_linear_words_tiles(dev.tiles, 100, 8, WIDTH, N)
+assert np.array_equal(
+    np.asarray(jax.device_get(lw)).view(np.uint8)[: _nb * 8], elin
+), "fused linear words wrong"
+assert np.array_equal(np.asarray(jax.device_get(lc)), ecnt)
+hkeys = ((np.arange(32, dtype=np.uint32) * 37 + 5) % 512)
+elin32, _ = _lin_expect(hkeys)
+hw = _sc.shared_scan_linear_words_device(dev, hkeys)
+assert np.array_equal(
+    np.asarray(jax.device_get(hw)).view(np.uint8)[: _nb * 32], elin32
+), "hierarchical linear words wrong"
+
 # 11. sharded dispatch on the single real device
 step("sharded")
 from shared_simd_scan_tpu.parallel import dist  # noqa: E402
