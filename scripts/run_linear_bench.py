@@ -89,11 +89,15 @@ def main(argv):
     rows = []
     from shared_simd_scan_tpu.ops.linear import _mxu_supported
 
+    from shared_simd_scan_tpu.ops.linear import _mxu_large_supported
+
     variants = ([
         ("linear-fused-s8", harness.chain_linear_shared_scan,
          {"relayout": "fused"},
-         "fused single-pass scan+interleave, int8 MXU dots (consecutive keys)"),
-    ] if _mxu_supported(k) else []) + [
+         "fused single-pass scan+interleave, int8 MXU dots (consecutive keys)"
+         if _mxu_supported(k) else
+         "fused-hierarchical scan+interleave (consecutive keys, no bits round-trip)"),
+    ] if _mxu_supported(k) or _mxu_large_supported(k) else []) + [
         ("linear-mxu-words", harness.chain_linear_shared_scan,
          {"relayout": "words"},
          "two-kernel export: traced-keys scan + s8 MXU relayout"

@@ -277,7 +277,12 @@ def chain_linear_shared_scan(
         if relayout == "fused":
             # single-pass fused scan+interleave (traced lo, same salt
             # convention); consume BOTH outputs (multi-output DCE lesson)
-            out, cnt = scan_ops.interval_scan_linear_words_tiles(
+            fn = (
+                scan_ops.interval_scan_linear_words_large
+                if kk >= 24
+                else scan_ops.interval_scan_linear_words_tiles
+            )
+            out, cnt = fn(
                 tiles, (salt + jnp.uint32(i)) << 16, kk, width, n, tb=tb
             )
             return acc + jnp.sum(out) + jnp.sum(cnt)

@@ -449,6 +449,14 @@ def shared_scan_linear_words_device(
                 interpret=interpret,
             )
             return out
+    if not traced and _mxu_large_supported(k):
+        lo = _consecutive_lo(keys)
+        if lo is not None:
+            out, _ = interval_scan_linear_words_large(
+                dev.tiles, lo, k, dev.width, dev.n, tb=tb,
+                interpret=interpret,
+            )
+            return out
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
     nbytes = (dev.n + 7) // 8
     if _mxu_supported(k):
@@ -631,6 +639,50 @@ def interval_scan_linear_words_tiles(
     return out.reshape(-1)[:nwords], counts
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "interpret", "dot")
+)
+def interval_scan_linear_words_large(
+    tiles: jax.Array,
+    lo,
+    k: int,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    dot: str = "s8",
+) -> tuple[jax.Array, jax.Array]:
+    """Fused HIERARCHICAL linear export for consecutive keys lo..lo+k-1,
+    k % 8 == 0 in 24..128 (traced lo fine): level 1 runs the fused
+    interval-scan+interleave kernel per 8-key group (the packed column
+    is read k/8 times, but the (k, W) bits never exist in HBM), level 2
+    is the g=2-word stream interleave.  vs routing through bits: saves
+    the 2x bits round-trip and the scan re-runs at interval-kernel cost
+    (~0.8 ms/group) instead of the bit-sliced tier's."""
+    from shared_simd_scan_tpu.ops.linear import (
+        _mxu_large_supported,
+        interleave_streams_mxu_words,
+    )
+
+    assert _mxu_large_supported(k)
+    m = k // 8
+    lo = jnp.asarray(lo, jnp.uint32)
+    groups, counts = [], []
+    for G in range(m):
+        out_g, cnt_g = interval_scan_linear_words_tiles(
+            tiles, lo + jnp.uint32(8 * G), 8, width, n, tb=tb,
+            interpret=interpret, dot=dot, flat=False,
+        )
+        groups.append(out_g.reshape(-1))
+        counts.append(cnt_g)
+    streams = jnp.stack(groups)
+    nwords = ((n + 7) // 8) * k // 4
+    out = interleave_streams_mxu_words(
+        streams, 2, nwords, tw=256, interpret=interpret, dot=dot
+    )
+    return out, jnp.concatenate(counts)
+
+
 def popcount_bits(bits: jax.Array) -> jax.Array:
     """Hit counts from canonical bitvector words (axis -1)."""
     return jnp.sum(jax.lax.population_count(bits).astype(jnp.int32), axis=-1)
@@ -647,6 +699,7 @@ __all__ = [
     "shared_scan_linear_device",
     "shared_scan_linear_words_device",
     "interval_scan_linear_words_tiles",
+    "interval_scan_linear_words_large",
     "histogram_tiles",
     "histogram_dag_tiles",
     "histogram_device",

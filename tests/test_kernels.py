@@ -630,13 +630,14 @@ def test_linear_words_device_large_k_dispatch():
 
 def test_fuzz_linear_words_device():
     # words-export dispatcher fuzz: every tier boundary (fused k<=16,
-    # hierarchical 24..128, stack fallback k=20), ragged n, widths
+    # hierarchical 24..128 incl. the fused-hierarchical consecutive
+    # route, stack fallback k=20), ragged n, widths
     from shared_simd_scan_tpu.ops import scan as scan_ops
 
     rng = np.random.default_rng(57)
     for k, width, consec in (
         (4, 7, True), (8, 9, False), (12, 11, True), (16, 9, False),
-        (24, 9, False), (32, 13, True), (20, 9, False),
+        (24, 9, True), (24, 9, False), (32, 13, True), (20, 9, False),
     ):
         n = int(rng.integers(5_000, 30_000))
         dom = 1 << width
