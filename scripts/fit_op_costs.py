@@ -61,6 +61,9 @@ def main(argv):
             )
             if best is None or err < best[0]:
                 best = (err, float(vpu), float(ts))
+    if best is None:
+        sys.exit("no VPU-only rows to fit (need at least one row with "
+                 "ops_per_value set and mxu_macs == 0)")
     _, vpu, ts = best
 
     # stage 2: fit the MXU MAC rate on the dot-bearing rows (linear

@@ -101,7 +101,8 @@ def main(argv):
         ("linear-mxu-words", harness.chain_linear_shared_scan,
          {"relayout": "words"},
          "two-kernel export: traced-keys scan + s8 MXU relayout"
-         + ("" if _mxu_supported(k) else "; hierarchical 2-level interleave")),
+         + ("; hierarchical 2-level interleave"
+            if _mxu_large_supported(k) and not _mxu_supported(k) else "")),
         ("linear-mxu-u8view", harness.chain_linear_shared_scan,
          {"relayout": "dispatch"},
          "adds the u8 device view: 16.5x-padded bitcast materialization"),

@@ -324,13 +324,13 @@ def main(argv):
             ),
             t,
         )
-        perm_bytes = (128 * kk) ** 2
-        per_tb = 512 * (2 * WIDTH + (32 if kk > 8 else 12)) + 128 * kk * 4 * 5
-        cap = max(8, ((12_000_000 - perm_bytes) // per_tb) // 8 * 8)
-        tbf = unpack_ops._pick_tb(b1, min(128, cap))
+        tbf = scan_ops._interval_linear_tb(b1, WIDTH, kk, "s8")
         macs = 4 * b1 * 16384 * kk * kk
+        # flat=False: the counts are the verification target and the
+        # default flat slice would EAGERLY materialize the ~GB output
+        # (the documented relay trap)
         wv, cnt = scan_ops.interval_scan_linear_words_tiles(
-            pdev.tiles, 0, kk, WIDTH, n
+            pdev.tiles, 0, kk, WIDTH, n, flat=False
         )
         ok = bool((np.asarray(cnt) == hist_full[:kk].astype(np.uint32)).all())
         del wv
@@ -393,12 +393,30 @@ def main(argv):
         _, acc = jax.lax.fori_loop(0, k, body, (b, jnp.uint32(0)))
         return acc
 
+    # real in-run verification: device prefix (jit call+slice as ONE
+    # program) vs the numpy byte-interleave of the same bits prefix
+    pw = 8192
+    bits_prefix = np.asarray(jax.device_get(bitsj[:, : pw]))
+    devp = np.asarray(
+        jax.jit(
+            lambda b: linear_ops.interleave_mxu_words_large(b, nbytes)[:pw]
+        )(bitsj)
+    )
+    qg = pw // (kk // 8 * 2) * 2  # stream words fully covered by pw
+    expp = (
+        np.ascontiguousarray(bits_prefix[:, :qg])
+        .view(np.uint8)
+        .reshape(kk, -1)
+        .T.reshape(-1)
+        .view(np.uint32)[:pw]
+    )
+    okh = bool(np.array_equal(devp[: len(expp)], expp[: len(devp)]))
     m = measure_loop(
         chain_hier, (bitsj,), trials=reps,
         est_iter_s=hbm / 60e9, salt0=salt0("linhier"),
     )
     emit("linear-hier-relayout-s8", kk, None, m, elem_ops / n,
-         steps1 + steps2, hbm - pbytes, 0, True, macs)
+         steps1 + steps2, hbm - pbytes, 0, okh, macs)
     del bitsj
 
     with open(out_path, "w", newline="") as f:

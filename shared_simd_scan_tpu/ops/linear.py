@@ -253,9 +253,11 @@ def interleave_mxu_words_large(
     ]
     streams = jnp.stack(groups)
     # rows1 is a multiple of 128, so the stream length rows1*1024 is
-    # 256-row aligned and the level-2 call pads nothing
+    # tile-aligned at either default tw and the level-2 call pads
+    # nothing; the tw default must stay with the stream kernel (it
+    # shrinks past m=8 for scoped VMEM — review finding x2)
     return interleave_streams_mxu_words(
-        streams, 2, nbytes * k // 4, tw=256, interpret=interpret, dot=dot
+        streams, 2, nbytes * k // 4, interpret=interpret, dot=dot
     )
 
 

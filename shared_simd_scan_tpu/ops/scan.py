@@ -536,21 +536,17 @@ def _interval_linear_kernel(
     out_ref[...] = _mxu_interleave_rows(rows, perm_ref[...], k, dot)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("k", "width", "n", "tb", "interpret", "gateless", "dot"),
-)
-def _interval_linear_tiles_impl(
-    tiles, lo, k, width, n, tb, interpret, gateless, dot, block_offset=0
-):
-    from shared_simd_scan_tpu.ops.linear import _perm_matrix
+def _interval_linear_tb(
+    b1: int, width: int, k: int, dot: str, tb: int | None = None
+) -> int:
+    """THE tile-size rule for the fused linear kernel — used by the
+    kernel impl AND the op-fit step accounting (scripts/run_op_fit.py),
+    so a budget retune cannot desync the fitted step-overhead term.
 
-    _, b1, lanes = tiles.shape
-    assert lanes == LANES
-    # VMEM per sublane row: in 2*width words, out 2*128k words, one-hot
-    # masks (32 when materialized) + quad/plane/dot transients (~3*128k
-    # equivalents across z2/d/acc) — conservative static budget with the
-    # resident perm ((128k)^2) subtracted from the 12 MB pool.
+    VMEM per sublane row: in 2*width words, out 2*128k words, one-hot
+    masks (32 when materialized) + quad/plane/dot transients (~3*128k
+    equivalents across z2/d/acc) — conservative static budget with the
+    resident perm ((128k)^2) subtracted from the 12 MB pool."""
     perm_bytes = (128 * k) ** 2 * {"s8": 1, "bf16": 2, "f32": 4}[dot]
     per_tb = 512 * (2 * width + (32 if k > 8 else 12)) + 128 * k * 4 * 5
     headroom = 12_000_000 - perm_bytes
@@ -563,7 +559,21 @@ def _interval_linear_tiles_impl(
             " dot='s8'/'bf16' or the two-kernel path"
         )
     cap = max(8, (headroom // per_tb) // 8 * 8)
-    tb = _pick_tb(b1, tb if tb is not None else min(128, cap))
+    return _pick_tb(b1, tb if tb is not None else min(128, cap))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "width", "n", "tb", "interpret", "gateless", "dot"),
+)
+def _interval_linear_tiles_impl(
+    tiles, lo, k, width, n, tb, interpret, gateless, dot, block_offset=0
+):
+    from shared_simd_scan_tpu.ops.linear import _perm_matrix
+
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    tb = _interval_linear_tb(b1, width, k, dot, tb)
     lo2 = jnp.asarray(lo, jnp.uint32).reshape(1, 1)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     perm = _perm_matrix(k, dot)
@@ -678,7 +688,7 @@ def interval_scan_linear_words_large(
     streams = jnp.stack(groups)
     nwords = ((n + 7) // 8) * k // 4
     out = interleave_streams_mxu_words(
-        streams, 2, nwords, tw=256, interpret=interpret, dot=dot
+        streams, 2, nwords, interpret=interpret, dot=dot
     )
     return out, jnp.concatenate(counts)
 
