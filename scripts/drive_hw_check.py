@@ -202,6 +202,13 @@ hw = _sc.shared_scan_linear_words_device(dev, hkeys)
 assert np.array_equal(
     np.asarray(jax.device_get(hw)).view(np.uint8)[: _nb * 32], elin32
 ), "hierarchical linear words wrong"
+# consecutive k=32 dispatches the FUSED hierarchy (no bits round-trip)
+elinc, ecntc = _lin_expect(range(60, 92))
+fw, fc = _sc.interval_scan_linear_words_large(dev.tiles, 60, 32, WIDTH, N)
+assert np.array_equal(
+    np.asarray(jax.device_get(fw)).view(np.uint8)[: _nb * 32], elinc
+), "fused-hier linear words wrong"
+assert np.array_equal(np.asarray(jax.device_get(fc)), ecntc)
 
 # 11. sharded dispatch on the single real device
 step("sharded")
