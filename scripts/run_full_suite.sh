@@ -13,4 +13,7 @@ cd "$(dirname "$0")/.."
   echo
   echo "\$ python -m shared_simd_scan_tpu.bench 512m 3 pack"
   PYTHONPATH=/root/.axon_site python -u -m shared_simd_scan_tpu.bench 512m 3 pack
+  echo
+  echo "\$ python -m shared_simd_scan_tpu.bench 512m 3 linear 8"
+  PYTHONPATH=/root/.axon_site python -u -m shared_simd_scan_tpu.bench 512m 3 linear 8
 } 2>&1 | grep -v "Platform 'axon' is experimental"
