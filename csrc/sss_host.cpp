@@ -327,10 +327,25 @@ void sss_shared_scan(const uint8_t* packed, uint64_t n, int width,
 // memcpy-class speed.  AVX2 fast path for k % 8 == 0: 32 groups per
 // iteration via the 3-stage unpack byte transpose (8 streams -> 8-byte
 // units), one 8-byte store per (group, key-octet).
+//
+// KEY-TILED loop order (octet outer, groups inner): the first version
+// walked all k strided streams per 32-group unit and degraded 3x in
+// per-byte cost at k=64 (64 same-set streams thrash L1's associativity
+// — the streams are stride bytes apart, typically page-aligned-ish).
+// One octet pass keeps only 8 input streams hot; the chunk is sized so
+// the output region the k/8 passes revisit stays cache-resident.
 // ---------------------------------------------------------------------------
 void sss_interleave(const uint8_t* bits, uint64_t stride, int k,
                     uint64_t nbytes, uint8_t* out) {
-  const uint64_t chunk = 4096;  // groups per task (output: 4096*k bytes)
+  // groups per task: output region chunk*k bytes sized from a measured
+  // sweep (8/16/64/128/256/512 KB probed at k=64/128, 512 MiB stride):
+  // 16 KB best for k <= 64 (264 ms at k=64 vs 318 at 64 KB); k = 128
+  // prefers 128 KB (688-763 ms vs 886-947 at 16 KB — the tiny
+  // per-stream spans never ramp the prefetcher).  k <= 8 keeps the
+  // original 4096 groups (single pass, no revisit).
+  const uint64_t target_bytes = (k <= 64) ? 16384u : 131072u;
+  uint64_t chunk = (k <= 8) ? 4096 : target_bytes / (uint64_t)k / 32 * 32;
+  if (chunk < 32) chunk = 32;
   const int64_t nchunks = (int64_t)((nbytes + chunk - 1) / chunk);
 #pragma omp parallel for schedule(static)
   for (int64_t c = 0; c < nchunks; ++c) {
@@ -339,8 +354,9 @@ void sss_interleave(const uint8_t* bits, uint64_t stride, int k,
     uint64_t g = lo;
 #if defined(__AVX2__)
     if (k % 8 == 0) {
-      for (; g + 32 <= hi; g += 32) {
-        for (int q = 0; q + 8 <= k; q += 8) {
+      const uint64_t vend = lo + (hi - lo) / 32 * 32;
+      for (int q = 0; q + 8 <= k; q += 8) {
+        for (g = lo; g + 32 <= vend; g += 32) {
           const uint8_t* s = bits + (uint64_t)q * stride + g;
           const __m256i r0 = _mm256_loadu_si256((const __m256i*)(s + 0 * stride));
           const __m256i r1 = _mm256_loadu_si256((const __m256i*)(s + 1 * stride));

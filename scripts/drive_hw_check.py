@@ -210,6 +210,81 @@ assert np.array_equal(
 ), "fused-hier linear words wrong"
 assert np.array_equal(np.asarray(jax.device_get(fc)), ecntc)
 
+# 10c (round 5). fused STATIC-DAG linear export: arbitrary concrete keys
+# one-pass (k=8 spread) + hierarchical (k=32 spread) + groups-of-4 (k=20)
+step("linear export (fused static-DAG, arbitrary keys)")
+skeys8 = np.array([3, 471, 12, 200, 77, 508, 130, 9], np.uint32)
+eslin, escnt = _lin_expect(skeys8)
+sw, sc = _sc.static_scan_linear_words_tiles(dev.tiles, skeys8, WIDTH, N)
+assert np.array_equal(
+    np.asarray(jax.device_get(sw)).view(np.uint8)[: _nb * 8], eslin
+), "fused static linear words wrong"
+assert np.array_equal(np.asarray(jax.device_get(sc)), escnt)
+skeys32 = ((np.arange(32, dtype=np.uint32) * 41 + 7) % 512)
+eslin32, escnt32 = _lin_expect(skeys32)
+sw32, sc32 = _sc.static_scan_linear_words_large(dev.tiles, skeys32, WIDTH, N)
+assert np.array_equal(
+    np.asarray(jax.device_get(sw32)).view(np.uint8)[: _nb * 32], eslin32
+), "fused static hierarchical words wrong"
+assert np.array_equal(np.asarray(jax.device_get(sc32)), escnt32)
+eslin20, _ = _lin_expect(range(200, 220))
+gw20, _ = _sc.interval_scan_linear_words_large(dev.tiles, 200, 20, WIDTH, N)
+assert np.array_equal(
+    np.asarray(jax.device_get(gw20)).view(np.uint8)[: _nb * 20], eslin20
+), "groups-of-4 hierarchical words wrong"
+
+# 12 (round 5). encoding/null layers + io on hardware (VERDICT r4 item 7)
+step("nullable Kleene tree")
+from shared_simd_scan_tpu import nullable, forcol, dictcol, io as sss_io  # noqa: E402
+
+nmask = (rng.integers(0, 8, N) == 0)
+nc = nullable.pack_nullable(vals_np, nmask, WIDTH)
+nb_, ncount = nullable.evaluate(
+    q.Not(q.Or(q.Eq(nc, 3), q.Range(nc, 10, 50)))
+)
+exp_mask = ~((vals_np == 3) | ((vals_np >= 10) & (vals_np < 50))) & ~nmask
+assert int(jax.device_get(ncount)) == int(exp_mask.sum()), "nullable count wrong"
+np.testing.assert_array_equal(
+    np.asarray(jax.device_get(nb_)), expect_words(exp_mask)
+)
+
+step("FOR-encoded range query")
+fvals = vals_np.astype(np.uint64) + 50_000
+fc = forcol.pack_for(fvals)
+fb, fcount = forcol.evaluate(q.Range(fc, 50_010, 50_050))
+fmask = (fvals >= 50_010) & (fvals < 50_050)
+assert int(jax.device_get(fcount)) == int(fmask.sum()), "FOR count wrong"
+np.testing.assert_array_equal(
+    np.asarray(jax.device_get(fb)), expect_words(fmask)
+)
+
+step("dict-encoded Range rewrite")
+dvals = (vals_np.astype(np.uint64) * 1_000_003) % (1 << 40)
+dc = dictcol.pack_dict(dvals)
+dlo, dhi = int(np.percentile(dvals, 30)), int(np.percentile(dvals, 60))
+db, dcount = dictcol.evaluate(q.Range(dc, dlo, dhi))
+dmask = (dvals >= dlo) & (dvals < dhi)
+assert int(jax.device_get(dcount)) == int(dmask.sum()), "dict count wrong"
+np.testing.assert_array_equal(
+    np.asarray(jax.device_get(db)), expect_words(dmask)
+)
+
+step("io save/load round-trip")
+import tempfile  # noqa: E402
+
+with tempfile.TemporaryDirectory() as td:
+    col = layout.pack(vals_np, WIDTH)
+    sss_io.save_column(col, td + "/col.sss")
+    col2 = sss_io.load_column(td + "/col.sss")
+    assert np.array_equal(
+        np.asarray(col.words), np.asarray(col2.words)
+    ), "io column payload mismatch"
+    dev2 = layout.to_device(col2)
+    _, c2 = scan_ops.shared_scan_device(dev2, np.array([5], np.uint32))
+    assert int(jax.device_get(c2)[0]) == int((vals_np == 5).sum()), (
+        "scan over reloaded column wrong"
+    )
+
 # 11. sharded dispatch on the single real device
 step("sharded")
 from shared_simd_scan_tpu.parallel import dist  # noqa: E402

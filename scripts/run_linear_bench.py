@@ -43,6 +43,7 @@ def _t(fn):
 def main(argv):
     out_path, data_size, k, reps = "bench_results/linear_v5e_512m.csv", "512m", 8, 3
     skip = []
+    spread = False
     for a in argv:
         if a.startswith("--data-size="):
             data_size = a.split("=", 1)[1]
@@ -50,6 +51,11 @@ def main(argv):
             k = int(a.split("=", 1)[1])
         elif a.startswith("--reps="):
             reps = int(a.split("=", 1)[1])
+        elif a == "--spread":
+            # SPREAD concrete keys: the fused static-DAG export tier
+            # (consecutive-only rows are skipped; values drawn uniform
+            # over the domain so matches exist)
+            spread = True
         elif a.startswith("--skip="):
             # e.g. --skip=stack,host — the k=32 full-size stack chain
             # crashed the TPU worker (padded-intermediate blowup class);
@@ -61,10 +67,19 @@ def main(argv):
     size = parse_size(data_size)
 
     n = harness.values_for(size, WIDTH)
-    vals = harness.synth_modk(n, k, WIDTH)
+    if spread:
+        rng = np.random.default_rng(7)
+        import jax.numpy as jnp
+
+        vals = jnp.asarray(
+            rng.integers(0, 1 << WIDTH, n, dtype=np.uint32)
+        )
+        keys = rng.permutation(1 << WIDTH)[:k].astype(np.uint32)
+    else:
+        vals = harness.synth_modk(n, k, WIDTH)
+        # keys 0..k-1 (the reference linear bench's own shape)
+        keys = np.arange(k, dtype=np.uint32)
     dev = unpack_ops.pack_device_kernel(vals, WIDTH)
-    # keys 0..k-1 (the reference linear bench's own shape)
-    keys = np.arange(k, dtype=np.uint32)
 
     # correctness: byte parity vs the oracle interleave on a small prefix
     # (fetch ONLY the prefix: device_get of the full 477 MB uint8 output
@@ -91,13 +106,22 @@ def main(argv):
 
     from shared_simd_scan_tpu.ops.linear import _mxu_large_supported
 
+    mxu_any = _mxu_supported(k) or _mxu_large_supported(k)
     variants = ([
+        ("linear-fused-static-s8", harness.chain_static_linear_shared_scan,
+         {"keys_tuple": tuple(int(x) for x in keys)},
+         "fused single-pass static-DAG scan+interleave (ARBITRARY "
+         "concrete keys), int8 MXU dots"
+         if _mxu_supported(k) else
+         "fused-hierarchical static-DAG scan+interleave (arbitrary "
+         "concrete keys, no bits round-trip)"),
+    ] if spread and mxu_any else []) + ([
         ("linear-fused-s8", harness.chain_linear_shared_scan,
-         {"relayout": "fused"},
+         {"relayout": "fused", "kk": k},
          "fused single-pass scan+interleave, int8 MXU dots (consecutive keys)"
          if _mxu_supported(k) else
          "fused-hierarchical scan+interleave (consecutive keys, no bits round-trip)"),
-    ] if _mxu_supported(k) or _mxu_large_supported(k) else []) + [
+    ] if not spread and mxu_any else []) + [
         ("linear-mxu-words", harness.chain_linear_shared_scan,
          {"relayout": "words"},
          "two-kernel export: traced-keys scan + s8 MXU relayout"
@@ -114,8 +138,10 @@ def main(argv):
     ]
     variants = [v for v in variants if not any(s in v[0] for s in skip)]
     for name, chain, extra, note in variants:
+        if "keys_tuple" not in extra and "kk" not in extra:
+            extra = {**extra, "kk": k}
         m = measure_loop(
-            functools.partial(chain, width=WIDTH, n=n, tb=None, kk=k, **extra),
+            functools.partial(chain, width=WIDTH, n=n, tb=None, **extra),
             (dev.tiles,), trials=reps,
             est_iter_s=traffic / (6e9 if name == "linear-xla-stack" else 300e9),
             salt0=(abs(hash(name)) + int(time.time())) % 1_000_000,

@@ -115,6 +115,47 @@ def _hist_dag_model(b1, k, tb=None, single_pass=None):
     return ops, steps, partials
 
 
+def _bitsliced_static_model(b1, keys):
+    """Counted cost of the static AND-DAG scan tier for THIS key set:
+    ops/value from the traced impl (unpack + pruned transpose + DAG +
+    stores — the FULL body, not just the DAG ops), grid steps from the
+    impl's own tb rule, count-partial bytes.  The bits output bytes are
+    returned separately (they include the zero-pad rows the kernel
+    really writes)."""
+    t = _tiny(WIDTH)
+    nt = t.shape[1] * 128 * 32
+    arr = np.asarray(keys, np.uint32)
+    ops = 0.0
+    steps = 0
+    partials = 0
+    bits_bytes = 0
+    g0 = 0
+    for g in scan_ops._static_group_sizes(len(arr)):
+        sub = tuple(int(x) for x in arr[g0 : g0 + g])
+        g0 += g
+        c = count_vector_ops(
+            lambda x, sub=sub: scan_ops._bitsliced_static_tiles_impl(
+                x, sub, WIDTH, nt, None, False, 0
+            ),
+            t,
+        )
+        ops += c["per_value"]
+        krows = scan_ops._static_krows(g)
+        nchunks = -(-g // krows)
+        live = max(
+            scan_ops._static_dag_liveness(WIDTH, sub[c0 : c0 + krows])
+            for c0 in range(0, g, krows)
+        )
+        per_tb = 512 * (2 * WIDTH + 2 * krows + WIDTH + 32 + live + 64)
+        tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+        tbg = unpack_ops._pick_tb(b1, tb_auto)
+        steps += (b1 // tbg) * nchunks
+        kpad = nchunks * krows
+        partials += (b1 // tbg) * kpad * LANES * 4
+        bits_bytes += kpad * b1 * LANES * 4
+    return ops, steps, partials, bits_bytes
+
+
 def _agg_models(b1, k, kind):
     t, mt = _tiny(WIDTH), _tiny(WM)
     nt = t.shape[1] * 128 * 32
@@ -214,6 +255,32 @@ def main(argv):
     )
     emit("shared-scan-compare", k, None, m, c["per_value"], b1 // tbs,
          0, k * (n // 8), ok)
+
+    # --- bitsliced-static spread flagship (VERDICT r4 item 2) -------------
+    # the single most load-bearing non-headline number (567 GB/s at k=8):
+    # put it under the same fitted-bound protocol as every other tier
+    perm = np.random.default_rng(7).permutation(1 << WIDTH)
+    for kk in (8, 32):
+        skeys = perm[:kk].astype(np.uint32)
+        kt = tuple(int(x) for x in skeys)
+        _, cnt = scan_ops.shared_scan_bitsliced_static_tiles(
+            pdev.tiles, skeys, WIDTH, n
+        )
+        ok = bool(
+            (np.asarray(cnt) == hist_full[skeys].astype(np.uint32)).all()
+        )
+        ops, steps, partials, bits_bytes = _bitsliced_static_model(b1, skeys)
+        m = measure_loop(
+            functools.partial(
+                harness.chain_bitsliced_static_shared_scan, width=WIDTH,
+                n=n, tb=None, keys_tuple=kt,
+            ),
+            (pdev.tiles,), trials=reps,
+            est_iter_s=(pbytes + bits_bytes) / 550e9,
+            salt0=salt0(("bsstatic", kk)),
+        )
+        emit("bitsliced-static-spread", kk, None, m, ops, steps, partials,
+             bits_bytes, ok)
 
     # --- histograms -------------------------------------------------------
     for op, kk, sp in (
@@ -418,6 +485,74 @@ def main(argv):
     emit("linear-hier-relayout-s8", kk, None, m, elem_ops / n,
          steps1 + steps2, hbm - pbytes, 0, okh, macs)
     del bitsj
+
+    # --- narrow widths (VERDICT r4 item 5): interval scan w=1/2/4 ---------
+    # total-traffic accounting: at w=1, k=8 the bitvector output is 8x
+    # the packed input — these rows prove whether the narrow width sweep
+    # numbers are AT their write-dominated bound or leaving VPU headroom
+    del pdev, mdev  # free the 512 MiB column before the 2^31-value ones
+    narrow_size = min(size, 256 * 2**20)
+    for wnarrow in (1, 2, 4):
+        kk = 8
+        nn = min(
+            harness.values_for(narrow_size, wnarrow), layout.MAX_VALUES
+        )
+        ndev = harness.synth_modk_packed_sliced(nn, kk, wnarrow)
+        nb1 = ndev.tiles.shape[1]
+        npacked = layout.packed_nbytes(wnarrow, nn)
+        # synth values are i % 8 % 2^w: counts analytic, no host bincount
+        dom = 1 << wnarrow
+        exp_c = np.array(
+            [
+                sum(
+                    (nn - r + 7) // 8
+                    for r in range(8)
+                    if r % dom == j
+                )
+                for j in range(min(kk, dom))
+            ]
+            + [0] * max(0, kk - dom),
+            np.uint32,
+        )
+        _, cnt = scan_ops.interval_scan_tiles(
+            ndev.tiles, jnp.uint32(0), kk, wnarrow, nn
+        )
+        ok = bool((np.asarray(cnt) == exp_c).all())
+        t = _tiny(wnarrow)
+        nt = t.shape[1] * 128 * 32
+        c = count_vector_ops(
+            lambda x, lo, wn=wnarrow: scan_ops.interval_scan_tiles(
+                x, lo, kk, wn, nt
+            ),
+            t, jnp.uint32(0),
+        )
+        tbi = unpack_ops._pick_tb(
+            nb1, scan_ops.default_interval_tb(wnarrow, kk)
+        )
+        steps = nb1 // tbi
+        bits_bytes = kk * nb1 * LANES * 4  # padded bits rows, really written
+        partials = steps * kk * LANES * 4
+        m = measure_loop(
+            functools.partial(
+                harness.chain_interval_scan, width=wnarrow, n=nn, tb=None,
+                kk=kk,
+            ),
+            (ndev.tiles,), trials=reps,
+            est_iter_s=(npacked + bits_bytes) / 600e9,
+            salt0=salt0(("narrow", wnarrow)),
+        )
+        rows.append({
+            "op": f"interval-scan-w{wnarrow}", "k": kk, "tb": "auto",
+            "ms": round(m.millis, 4),
+            "ops_per_value": round(c["per_value"], 2),
+            "hbm_bytes": npacked + partials + bits_bytes,
+            "grid_steps": steps, "n": nn, "verified": ok,
+            "mxu_macs": 0,
+        })
+        print(f"interval-scan-w{wnarrow} k={kk}: {m.millis:.3f} ms "
+              f"ops/val={c['per_value']:.2f} steps={steps} "
+              f"verify={'ok' if ok else 'FAIL'}", flush=True)
+        del ndev
 
     with open(out_path, "w", newline="") as f:
         w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))

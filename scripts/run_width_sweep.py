@@ -40,36 +40,9 @@ from shared_simd_scan_tpu.ops import unpack as unpack_ops  # noqa: E402
 
 
 def _synth_packed_sliced(n, k, width, nslices=8):
-    """synth_modk(n, k, width) packed to a DeviceColumn in B1 slices."""
-    from shared_simd_scan_tpu.layout import LANES, padded_blocks
-
-    b1 = padded_blocks(n) // LANES
-    s1 = -(-b1 // nslices)
-    s1 = max(512, -(-s1 // 512) * 512)  # keep slice B1 divisor-friendly
-    m = min(512, 1 << width)  # synth_modk's modulus
-    # start is a traced operand and only cnt (the output shape) is static,
-    # so all full slices share ONE compiled program (a baked-constant
-    # closure per slice forced nslices relay compiles)
-    @functools.partial(jax.jit, static_argnames=("cnt",))
-    def make(start, cnt):
-        i = start + jnp.arange(cnt, dtype=jnp.uint32)
-        v = jnp.where(
-            i < jnp.uint32(n),
-            i % jnp.uint32(k) % jnp.uint32(m),
-            jnp.uint32(0),
-        )
-        return unpack_ops.pack_device_kernel(v, width).tiles
-
-    parts = []
-    done = 0
-    while done < b1:
-        rows = min(s1, b1 - done)
-        t = make(jnp.uint32(done * LANES * 32), rows * LANES * 32)
-        assert t.shape[1] == rows, (t.shape, rows)
-        parts.append(t)
-        done += rows
-    tiles = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
-    return layout.DeviceColumn(width=width, n=n, tiles=tiles)
+    """synth_modk(n, k, width) packed in B1 slices (now shared infra:
+    harness.synth_modk_packed_sliced)."""
+    return harness.synth_modk_packed_sliced(n, k, width, nslices)
 
 
 def main(argv):

@@ -112,6 +112,44 @@ def values_for(data_size: int, width: int) -> int:
     return max((data_size * 8) // width, layout.BLOCK_VALUES)
 
 
+def synth_modk_packed_sliced(n, k, width, nslices=8):
+    """synth_modk(n, k, width) packed to a DeviceColumn in B1 slices —
+    narrow widths at >= 256 MiB packed mean n ~ 2^31 values, and the
+    one-shot synth+pack materializes a 8.6 GB uint32 intermediate; the
+    sliced form never holds more than one slice's values (the round-3
+    narrow-width OOM fix, shared by run_width_sweep and run_op_fit)."""
+    from shared_simd_scan_tpu.layout import LANES, padded_blocks
+    from shared_simd_scan_tpu.ops import unpack as unpack_ops
+
+    b1 = padded_blocks(n) // LANES
+    s1 = -(-b1 // nslices)
+    s1 = max(512, -(-s1 // 512) * 512)  # keep slice B1 divisor-friendly
+    m = min(512, 1 << width)  # synth_modk's modulus
+    # start is a traced operand and only cnt (the output shape) is static,
+    # so all full slices share ONE compiled program (a baked-constant
+    # closure per slice forced nslices relay compiles)
+    @functools.partial(jax.jit, static_argnames=("cnt",))
+    def make(start, cnt):
+        i = start + jnp.arange(cnt, dtype=jnp.uint32)
+        v = jnp.where(
+            i < jnp.uint32(n),
+            i % jnp.uint32(k) % jnp.uint32(m),
+            jnp.uint32(0),
+        )
+        return unpack_ops.pack_device_kernel(v, width).tiles
+
+    parts = []
+    done = 0
+    while done < b1:
+        rows = min(s1, b1 - done)
+        t = make(jnp.uint32(done * LANES * 32), rows * LANES * 32)
+        assert t.shape[1] == rows, (t.shape, rows)
+        parts.append(t)
+        done += rows
+    tiles = jnp.concatenate(parts, axis=1) if len(parts) > 1 else parts[0]
+    return layout.DeviceColumn(width=width, n=n, tiles=tiles)
+
+
 # ---------------------------------------------------------------------------
 # Chained timing kernels (see bench.timing for why)
 # ---------------------------------------------------------------------------
@@ -123,6 +161,20 @@ def chain_copy(x, salt, k):
     x = x.at[0].set(salt.astype(x.dtype))  # consume salt: distinct submission
     one = jnp.ones((), x.dtype)
     y = jax.lax.fori_loop(0, k, lambda i, a: a + one, x)
+    # sum-consume: scalar for any element rank (the 8-byte granularity
+    # row is a (nelem, 2) uint32 array — complex64 is UNIMPLEMENTED on
+    # this TPU backend, measured)
+    return jnp.sum(y[0] + y[-1]).astype(jnp.uint32)
+
+
+@functools.partial(jax.jit, static_argnames=("k",))
+def chain_memcpy(x, salt, k):
+    """Explicit-copy comparator (benchmark_misc.cpp:36-52's memcpy row):
+    each iteration is one full-buffer contiguous copy — roll-by-1, so the
+    body cannot be elided as identity; traffic equals memcpy's
+    read + write."""
+    x = x.at[0].set(salt.astype(x.dtype))
+    y = jax.lax.fori_loop(0, k, lambda i, a: jnp.roll(a, 1), x)
     return (y[0] + y[-1]).astype(jnp.uint32)
 
 
@@ -276,12 +328,24 @@ def chain_linear_shared_scan(
         dev = DeviceColumn(width=width, n=n, tiles=tiles)
         if relayout == "fused":
             # single-pass fused scan+interleave (traced lo, same salt
-            # convention); consume BOTH outputs (multi-output DCE lesson)
-            fn = (
-                scan_ops.interval_scan_linear_words_large
-                if kk >= 24
-                else scan_ops.interval_scan_linear_words_tiles
+            # convention); consume BOTH outputs (multi-output DCE lesson).
+            # Gate on the REAL tier predicates: kk in 17..23 or kk % 8
+            # != 0 above 16 would otherwise fail an assert deep in the
+            # kernel (review finding)
+            from shared_simd_scan_tpu.ops.linear import (
+                _mxu_large_supported,
+                _mxu_supported,
             )
+
+            if _mxu_supported(kk):
+                fn = scan_ops.interval_scan_linear_words_tiles
+            elif _mxu_large_supported(kk):
+                fn = scan_ops.interval_scan_linear_words_large
+            else:
+                raise ValueError(
+                    f"relayout='fused' needs k in 4/8/12/16, k % 8 == 0 in"
+                    f" 24..128, or k % 4 == 0 in 20..64, got {kk}"
+                )
             out, cnt = fn(
                 tiles, (salt + jnp.uint32(i)) << 16, kk, width, n, tb=tb
             )
@@ -304,6 +368,46 @@ def chain_linear_shared_scan(
         return acc + jnp.sum(out)
 
     return jax.lax.fori_loop(0, k, body, jnp.uint32(0))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "keys_tuple")
+)
+def chain_static_linear_shared_scan(
+    tiles, salt, k, *, width, n, tb, keys_tuple
+):
+    """Fused static-DAG linear export chain (ARBITRARY concrete keys).
+    Keys are compile-time (the DAG is built from them), so distinct
+    submissions come from salting the input tile (the
+    chain_bitsliced_static convention); BOTH outputs are consumed
+    (multi-output DCE lesson)."""
+    import numpy as np
+
+    from shared_simd_scan_tpu.ops.linear import (
+        _mxu_large_supported,
+        _mxu_supported,
+    )
+
+    keys = np.asarray(keys_tuple, np.uint32)
+    kk = int(keys.shape[0])
+    if _mxu_supported(kk):
+        fn = scan_ops.static_scan_linear_words_tiles
+    elif _mxu_large_supported(kk):
+        fn = scan_ops.static_scan_linear_words_large
+    else:
+        raise ValueError(
+            f"fused static linear needs k in 4/8/12/16, k % 8 == 0 in"
+            f" 24..128, or k % 4 == 0 in 20..64, got {kk}"
+        )
+
+    def body(i, carry):
+        t, acc = carry
+        t = t.at[0, 0, 0].set(salt + jnp.uint32(i))
+        out, cnt = fn(t, keys, width, n, tb=tb)
+        return t, acc + jnp.sum(out) + jnp.sum(cnt)
+
+    _, acc = jax.lax.fori_loop(0, k, body, (tiles, jnp.uint32(0)))
+    return acc
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "n", "tb", "kk"))
@@ -615,10 +719,15 @@ def check_shared_scan(
 
 
 def bench_memory(data_size: int = DEFAULT_DATA_SIZE, reps: int = DEFAULT_REPETITIONS):
-    """Raw copy bandwidth at 1/2/4-byte granularity (benchmark_misc.cpp:9-52).
+    """Raw copy bandwidth at 1/2/4/8-byte granularity plus an explicit
+    memcpy row — the reference's five comparator rows
+    (benchmark_misc.cpp:9-52).
 
-    On TPU every granularity is the same HBM stream; the uint32 row is the
-    roofline comparator used by the scan benches.
+    On TPU every granularity is the same HBM stream (the 8-byte row is a
+    (nelem, 2) uint32 layout — an 8-byte element unit; complex64 is
+    UNIMPLEMENTED on this TPU backend, measured); the uint32 row is the
+    roofline comparator used by the scan benches, and the memcpy row is
+    a pure copy with no ALU work in the loop body.
     """
     from shared_simd_scan_tpu.bench.timing import timer_resolution_ns
 
@@ -626,15 +735,27 @@ def bench_memory(data_size: int = DEFAULT_DATA_SIZE, reps: int = DEFAULT_REPETIT
           "(device kernels are timed with chained loops, not this clock)")
     roof = hbm_peak_bytes_per_s()
     results = []
-    for dtype, label in ((jnp.uint8, "1 byte"), (jnp.uint16, "2 bytes"), (jnp.uint32, "4 bytes")):
+    for dtype, label, shape2 in (
+        (jnp.uint8, "1 byte", None), (jnp.uint16, "2 bytes", None),
+        (jnp.uint32, "4 bytes", None), (jnp.uint32, "8 bytes", 2),
+    ):
         nelem = data_size // jnp.dtype(dtype).itemsize
-        x = jnp.zeros(nelem, dtype)
+        x = jnp.zeros(
+            (nelem,) if shape2 is None else (nelem // shape2, shape2), dtype
+        )
         meas = measure_loop(
             chain_copy, (x,), trials=reps, est_iter_s=2 * data_size / 700e9
         )
         res = BenchResult(f"memory copy ({label} at a time)", meas, 2 * data_size)
         print_result(res, roof)
         results.append(res)
+    x = jnp.zeros(data_size // 4, jnp.uint32)
+    meas = measure_loop(
+        chain_memcpy, (x,), trials=reps, est_iter_s=2 * data_size / 700e9
+    )
+    res = BenchResult("memory copy (memcpy)", meas, 2 * data_size)
+    print_result(res, roof)
+    results.append(res)
     return results
 
 

@@ -104,10 +104,14 @@ def _agg_kernel(
 
 
 def _agg_tb(wp: int, wm: int, k: int, b1: int, tb: int | None) -> int:
-    # double-buffered inputs + 3k live accumulators + transients, x512 B
+    # double-buffered inputs + 3k live accumulators + transients, x512 B.
+    # tb is clamped to 256 even when caller-supplied: the int32 sum
+    # partials' headroom proof assumes <= 256 sublane rows (lo element
+    # < 2^21 summed over tb rows; at tb >= 1024 adversarial all-match
+    # data could overflow — review finding)
     per_tb = 512 * (2 * (wp + wm) + 3 * k + 8)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
-    return _pick_tb(b1, tb if tb is not None else tb_auto)
+    return _pick_tb(b1, min(tb, 256) if tb is not None else tb_auto)
 
 
 @functools.partial(
@@ -282,10 +286,12 @@ def _agg_bitplane_kernel(
 
 def _agg_bitplane_tb(wp, wm, live, b1, tb):
     # double-buffered inputs + both plane sets + transpose transients (~40)
-    # + measured DAG liveness + per-key transients + 64 vecs Mosaic headroom
+    # + measured DAG liveness + per-key transients + 64 vecs Mosaic
+    # headroom.  Caller tb clamped to 256 (same int32 sum-partial
+    # headroom proof as _agg_tb — review finding)
     per_tb = 512 * (3 * (wp + wm) + live + 40 + 8 + 64)
     tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
-    return _pick_tb(b1, tb if tb is not None else tb_auto)
+    return _pick_tb(b1, min(tb, 256) if tb is not None else tb_auto)
 
 
 @functools.partial(

@@ -219,12 +219,23 @@ def interleave_streams_mxu_words(
     return out.reshape(-1)[:nwords]
 
 
+def _hier_group(k: int) -> int:
+    """Level-1 key-group size of the hierarchical interleave: 8 (g=2
+    word streams) when k % 8 == 0, else 4 (g=1) for the k = 4m (m odd)
+    column the groups-of-8 form cannot cover (k = 20, 28, ... used to
+    fall through to the ~5-6 GB/s stack path — review finding)."""
+    return 8 if k % 8 == 0 else 4
+
+
 def _mxu_large_supported(k: int) -> bool:
     """Hierarchical interleave: key groups of 8 (byte-level kernel) +
-    one g=2-word stream interleave.  m = k/8 streams; the stream perm is
+    one g=2-word stream interleave — m = k/8 streams; the stream perm is
     (128m)^2 <= 4 MB s8 at k=128 where the DIRECT formulation's would
-    be 256 MB."""
-    return k % 8 == 0 and 24 <= k <= 128
+    be 256 MB.  k % 4 == 0 (but not % 8) rides groups of 4 at g=1,
+    capped at k <= 64 so m = k/4 <= 16 keeps the stream perm <= 4 MB."""
+    if k % 8 == 0:
+        return 24 <= k <= 128
+    return k % 4 == 0 and 20 <= k <= 64
 
 
 @functools.partial(
@@ -240,24 +251,25 @@ def interleave_mxu_words_large(
     bench_results/linear_v5e_512m.csv."""
     k, w = bits.shape
     assert _mxu_large_supported(k)
-    m = k // 8
-    # keep the level-1 outputs PADDED (rows1*1024 words each): slicing
-    # them to nbytes*2 and re-padding inside the stream kernel cost two
-    # extra full-size HBM copies (measured in the op-fit gap); padded
-    # words are zero and the final slice drops them
+    gs = _hier_group(k)
+    m = k // gs
+    # keep the level-1 outputs PADDED (rows1*128*gs words each): slicing
+    # them to nbytes*gs/4 and re-padding inside the stream kernel cost
+    # two extra full-size HBM copies (measured in the op-fit gap);
+    # padded words are zero and the final slice drops them
     groups = [
         _interleave_mxu_call(
-            bits[8 * G : 8 * G + 8], None, dot, interpret
+            bits[gs * G : gs * G + gs], None, dot, interpret
         ).reshape(-1)
         for G in range(m)
     ]
     streams = jnp.stack(groups)
-    # rows1 is a multiple of 128, so the stream length rows1*1024 is
+    # rows1 is a multiple of 128, so the stream length rows1*128*gs is
     # tile-aligned at either default tw and the level-2 call pads
     # nothing; the tw default must stay with the stream kernel (it
     # shrinks past m=8 for scoped VMEM — review finding x2)
     return interleave_streams_mxu_words(
-        streams, 2, nbytes * k // 4, interpret=interpret, dot=dot
+        streams, gs // 4, nbytes * k // 4, interpret=interpret, dot=dot
     )
 
 
@@ -428,10 +440,11 @@ def interleave_device(
     bits: jax.Array, nbytes: int, interpret: bool = False
 ) -> jax.Array:
     """Dispatch: MXU permutation kernel where legal (k % 4 == 0,
-    4 <= k <= 16), hierarchical MXU for k % 8 == 0 up to 128, XLA stack
-    otherwise.  Jitted as ONE program: eager bitcast/slice over ~GB
-    buffers materializes every intermediate through the relay (the
-    CLAUDE.md eager-op trap; review finding)."""
+    4 <= k <= 16), hierarchical MXU for k % 8 == 0 up to 128 or k % 4
+    == 0 up to 64 (groups of 4 at g=1), XLA stack otherwise.  Jitted as
+    ONE program: eager bitcast/slice over ~GB buffers materializes
+    every intermediate through the relay (the CLAUDE.md eager-op trap;
+    review finding)."""
     k = int(bits.shape[0])
     if _mxu_supported(k):
         return interleave_mxu_tiles(bits, nbytes, interpret=interpret)

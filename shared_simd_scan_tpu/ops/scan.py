@@ -406,8 +406,27 @@ def shared_scan_linear_device(
     XLA stack relayout.  Measured costs for every formulation:
     bench_results/linear_v5e_512m.csv.
     """
-    from shared_simd_scan_tpu.ops.linear import interleave_device
+    from shared_simd_scan_tpu.ops.linear import (
+        _mxu_large_supported,
+        _mxu_supported,
+        interleave_device,
+    )
 
+    if not isinstance(keys, jax.core.Tracer):
+        arr = np.asarray(keys, dtype=np.uint32)
+        k = int(arr.shape[0])
+        if _mxu_supported(k) or _mxu_large_supported(k):
+            # fused single-pass words export + uint8 view (same bitcast
+            # the MXU relayout's uint8 form pays; the scan+interleave
+            # themselves skip the (k, W) bits round-trip)
+            words = shared_scan_linear_words_device(
+                dev, arr, tb=tb, interpret=interpret
+            )
+            nbytes = (dev.n + 7) // 8
+            return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+                -1
+            )[: nbytes * k]
+        keys = arr
     keys = jnp.asarray(keys, jnp.uint32)
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)  # (k, W)
     return interleave_device(bits, (dev.n + 7) // 8, interpret=interpret)
@@ -448,7 +467,14 @@ def shared_scan_linear_words_device(
                 dev.tiles, lo, k, dev.width, dev.n, tb=tb,
                 interpret=interpret,
             )
-            return out
+        else:
+            # ANY concrete key set: same fusion with the static AND-DAG
+            # body (key-agnostic, like simd_scan_shared_linear.cpp)
+            out, _ = static_scan_linear_words_tiles(
+                dev.tiles, keys, dev.width, dev.n, tb=tb,
+                interpret=interpret,
+            )
+        return out
     if not traced and _mxu_large_supported(k):
         lo = _consecutive_lo(keys)
         if lo is not None:
@@ -456,7 +482,12 @@ def shared_scan_linear_words_device(
                 dev.tiles, lo, k, dev.width, dev.n, tb=tb,
                 interpret=interpret,
             )
-            return out
+        else:
+            out, _ = static_scan_linear_words_large(
+                dev.tiles, keys, dev.width, dev.n, tb=tb,
+                interpret=interpret,
+            )
+        return out
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
     nbytes = (dev.n + 7) // 8
     if _mxu_supported(k):
@@ -663,24 +694,28 @@ def interval_scan_linear_words_large(
     dot: str = "s8",
 ) -> tuple[jax.Array, jax.Array]:
     """Fused HIERARCHICAL linear export for consecutive keys lo..lo+k-1,
-    k % 8 == 0 in 24..128 (traced lo fine): level 1 runs the fused
-    interval-scan+interleave kernel per 8-key group (the packed column
-    is read k/8 times, but the (k, W) bits never exist in HBM), level 2
-    is the g=2-word stream interleave.  vs routing through bits: saves
-    the 2x bits round-trip and the scan re-runs at interval-kernel cost
-    (~0.8 ms/group) instead of the bit-sliced tier's."""
+    linear._mxu_large_supported k (traced lo fine): level 1 runs the
+    fused interval-scan+interleave kernel per key group (8 keys at
+    g=2-word streams, or 4 at g=1 for the k = 4m odd-m column — the
+    packed column is read k/gs times, but the (k, W) bits never exist
+    in HBM), level 2 is the stream interleave.  vs routing through
+    bits: saves the 2x bits round-trip and the scan re-runs at
+    interval-kernel cost (~0.8 ms/group) instead of the bit-sliced
+    tier's."""
     from shared_simd_scan_tpu.ops.linear import (
+        _hier_group,
         _mxu_large_supported,
         interleave_streams_mxu_words,
     )
 
     assert _mxu_large_supported(k)
-    m = k // 8
+    gs = _hier_group(k)
+    m = k // gs
     lo = jnp.asarray(lo, jnp.uint32)
     groups, counts = [], []
     for G in range(m):
         out_g, cnt_g = interval_scan_linear_words_tiles(
-            tiles, lo + jnp.uint32(8 * G), 8, width, n, tb=tb,
+            tiles, lo + jnp.uint32(gs * G), gs, width, n, tb=tb,
             interpret=interpret, dot=dot, flat=False,
         )
         groups.append(out_g.reshape(-1))
@@ -688,7 +723,213 @@ def interval_scan_linear_words_large(
     streams = jnp.stack(groups)
     nwords = ((n + 7) // 8) * k // 4
     out = interleave_streams_mxu_words(
-        streams, 2, nwords, interpret=interpret, dot=dot
+        streams, gs // 4, nwords, interpret=interpret, dot=dot
+    )
+    return out, jnp.concatenate(counts)
+
+
+def _static_linear_kernel(
+    off_ref, perm_ref, in_ref, out_ref, cnt_ref, *, width, tb, n, keys, dot,
+):
+    """FUSED static AND-DAG scan + MXU linear interleave, one grid step:
+    block tile i -> (tb, 128k) linear words + count partials, for ANY
+    concrete key set (the key-agnostic analog of
+    :func:`_interval_linear_kernel` — parity role:
+    simd_scan_shared_linear.cpp:9-82, which is key-agnostic too).
+
+    The per-key word rows come from the shared AND-DAG over the block's
+    bit planes (exactly the static bit-sliced tier's body) instead of
+    the interval kernel's one-hot SWAPMOVE; the rows are then
+    interleaved in-register (linear._mxu_interleave_rows), so the
+    (k, W) bits never round-trip through HBM.  Out-of-domain keys
+    produce constant-zero rows; the validity word is ANDed
+    unconditionally (span-kernel discipline)."""
+    from shared_simd_scan_tpu.ops.linear import _mxu_interleave_rows
+
+    i = pl.program_id(0)
+    k = len(keys)
+    dom = 1 << width
+    zero = jnp.zeros((tb, LANES), jnp.uint32)
+    vs = [v for _, v in _unpack_block_values(in_ref, width)]
+    planes = _transpose_bitplanes(vs, width)
+    memo: dict = {}
+    rows = [
+        _combo(planes, 0, width, int(key), memo) if int(key) < dom else zero
+        for key in keys
+    ]
+
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+    valid = jnp.where(
+        blk < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(blk == full, jnp.uint32((1 << rem) - 1 if rem else 0),
+                  jnp.uint32(0)),
+    )
+    rows = [r & valid for r in rows]
+    for j, r in enumerate(rows):
+        cnt_ref[0, j] = jnp.sum(
+            jax.lax.population_count(r).astype(jnp.int32), axis=0
+        )
+    out_ref[...] = _mxu_interleave_rows(rows, perm_ref[...], k, dot)
+
+
+def _static_linear_tb(
+    b1: int, width: int, keys: tuple, dot: str, tb: int | None = None
+) -> int:
+    """Tile-size rule for the fused static-DAG linear kernel: the
+    interval rule's interleave terms plus the DAG's MEASURED peak
+    register liveness (the static bit-sliced tier's budget discipline —
+    a flat guess under-counted wide widths ~2.6x) and the 64-vec Mosaic
+    scratch headroom the round-3 hardware compile failures demanded."""
+    k = len(keys)
+    perm_bytes = (128 * k) ** 2 * {"s8": 1, "bf16": 2, "f32": 4}[dot]
+    live = _static_dag_liveness(width, keys)
+    per_tb = (
+        512 * (2 * width + width + 32 + live + 64 + 2 * k)
+        + 128 * k * 4 * 5
+    )
+    headroom = 12_000_000 - perm_bytes
+    if headroom < 8 * per_tb:
+        raise ValueError(
+            f"fused static linear kernel VMEM budget: perm"
+            f" ({perm_bytes / 1e6:.1f} MB at k={k}, dot={dot!r}) plus the"
+            f" DAG's {live} live vectors leave no room for a tb=8 tile;"
+            " use dot='s8' or the two-kernel path"
+        )
+    cap = max(8, (headroom // per_tb) // 8 * 8)
+    return _pick_tb(b1, tb if tb is not None else min(128, cap))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("keys", "width", "n", "tb", "interpret", "dot"),
+)
+def _static_linear_tiles_impl(
+    tiles, keys: tuple, width, n, tb, interpret, dot, block_offset=0
+):
+    from shared_simd_scan_tpu.ops.linear import _perm_matrix
+
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    k = len(keys)
+    tb = _static_linear_tb(b1, width, keys, dot, tb)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    perm = _perm_matrix(k, dot)
+    out, cnt = pl.pallas_call(
+        functools.partial(
+            _static_linear_kernel,
+            width=width, tb=tb, n=n, keys=keys, dot=dot,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b1, 128 * k), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=(b1 // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (LANES * k, LANES * k), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tb, 128 * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(off, perm, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return out, counts
+
+
+def static_scan_linear_words_tiles(
+    tiles: jax.Array,
+    keys,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    dot: str = "s8",
+    block_offset: jax.Array | int = 0,
+    flat: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused static shared scan -> (uint32[nbytes*k/4] linear words,
+    (k,) uint32 counts) for ANY concrete key set (k must satisfy
+    linear._mxu_supported).  Single pass over the packed column: the
+    per-key rows come from the shared AND-DAG, interleaved in-register —
+    the key-agnostic sibling of :func:`interval_scan_linear_words_tiles`
+    (use that for consecutive runs: its one-hot body is cheaper)."""
+    from shared_simd_scan_tpu.ops.linear import _mxu_supported
+
+    if isinstance(keys, jax.core.Tracer):
+        raise TypeError("static_scan_linear_words_tiles requires concrete keys")
+    arr = np.asarray(keys, dtype=np.uint32)
+    k = int(arr.shape[0])
+    if not _mxu_supported(k):
+        raise ValueError(f"fused linear static scan needs k in 4/8/12/16, got {k}")
+    out, counts = _static_linear_tiles_impl(
+        tiles, tuple(int(v) for v in arr), width, n, tb, interpret, dot,
+        block_offset,
+    )
+    if not flat:
+        return out, counts
+    nwords = ((n + 7) // 8) * k // 4
+    return out.reshape(-1)[:nwords], counts
+
+
+def static_scan_linear_words_large(
+    tiles: jax.Array,
+    keys,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    dot: str = "s8",
+) -> tuple[jax.Array, jax.Array]:
+    """Fused HIERARCHICAL linear export for ANY concrete key set with
+    linear._mxu_large_supported k: level 1 runs the fused static-DAG
+    scan+interleave kernel per key group (8 keys, or 4 for the k = 4m
+    odd-m column; caller order preserved — the linear byte contract is
+    order-sensitive), level 2 is the stream interleave.  The (k, W)
+    bits never exist in HBM; vs the bits round-trip this saves its 2x
+    traffic and the relayout pass (measured: bench_results/linear_k32/
+    k64 CSVs)."""
+    from shared_simd_scan_tpu.ops.linear import (
+        _hier_group,
+        _mxu_large_supported,
+        interleave_streams_mxu_words,
+    )
+
+    if isinstance(keys, jax.core.Tracer):
+        raise TypeError("static_scan_linear_words_large requires concrete keys")
+    arr = np.asarray(keys, dtype=np.uint32)
+    k = int(arr.shape[0])
+    assert _mxu_large_supported(k)
+    gs = _hier_group(k)
+    m = k // gs
+    groups, counts = [], []
+    for G in range(m):
+        out_g, cnt_g = static_scan_linear_words_tiles(
+            tiles, arr[gs * G : gs * G + gs], width, n, tb=tb,
+            interpret=interpret, dot=dot, flat=False,
+        )
+        groups.append(out_g.reshape(-1))
+        counts.append(cnt_g)
+    streams = jnp.stack(groups)
+    nwords = ((n + 7) // 8) * k // 4
+    out = interleave_streams_mxu_words(
+        streams, gs // 4, nwords, interpret=interpret, dot=dot
     )
     return out, jnp.concatenate(counts)
 
@@ -710,6 +951,8 @@ __all__ = [
     "shared_scan_linear_words_device",
     "interval_scan_linear_words_tiles",
     "interval_scan_linear_words_large",
+    "static_scan_linear_words_tiles",
+    "static_scan_linear_words_large",
     "histogram_tiles",
     "histogram_dag_tiles",
     "histogram_device",
@@ -1382,18 +1625,22 @@ def _histogram_dag_tiles_impl(
 
 
 def _histogram_span_kernel(
-    off_ref, in_ref, cnt_ref, *, width, tb, n, lo, k
+    off_ref, in_ref, cnt_ref, *, width, tb, n, lo, k, store_batch=8
 ):
     """Single-pass counts-only AND-DAG kernel for a consecutive key span:
     ALL k rows in one straight-line body (no chunk grid dimension, no
     predicated branches).
 
     Counts-only makes this shape viable where the bits-producing kernel
-    must chunk: each key row is popcounted and stored IMMEDIATELY, so in
-    ascending-key DFS order the live set is one root-to-leaf path of
-    memoized subtrees (~width vectors, measured by _static_dag_liveness)
-    — not k rows.  The validity word is computed unconditionally and
-    ANDed into every row (one op per key) instead of the usual
+    must chunk: each key row is popcounted and its (LANES,) partial held
+    briefly, so in ascending-key DFS order the live set is one
+    root-to-leaf path of memoized subtrees (~width vectors, measured by
+    _static_dag_liveness) — not k rows.  Partials are stored in
+    ``store_batch``-row groups: the per-row (1, 128) store is 1/8 of a
+    vreg tile and pays a masked read-modify-write per key; an aligned
+    (8, 128) group store doesn't (the round-4 1.25x-of-fitted residue's
+    tested hypothesis).  The validity word is computed unconditionally
+    and ANDed into every row (one op per key) instead of the usual
     masked/unmasked pl.when split, which would have duplicated the whole
     k-key body into both branches."""
     i = pl.program_id(0)
@@ -1412,20 +1659,34 @@ def _histogram_span_kernel(
     dom = 1 << width
     zero = jnp.zeros((tb, LANES), jnp.uint32)
     memo: dict = {}
+    pcs = []
+    q0 = 0
     for j in range(k):
         key = lo + j
         row = _combo(planes, 0, width, key, memo) if key < dom else zero
         w = row & valid
-        cnt_ref[0, j] = jnp.sum(
-            jax.lax.population_count(w).astype(jnp.int32), axis=0
-        )
+        pcs.append(jnp.sum(
+            jax.lax.population_count(w).astype(jnp.int32), axis=0,
+            keepdims=True,
+        ))
+        if len(pcs) == store_batch or j == k - 1:
+            if len(pcs) == 1:
+                cnt_ref[0, q0] = pcs[0][0]
+            else:
+                cnt_ref[0, q0 : q0 + len(pcs)] = jnp.concatenate(pcs, axis=0)
+            q0 = j + 1
+            pcs = []
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lo", "k", "width", "n", "tb", "interpret")
+    jax.jit,
+    static_argnames=(
+        "lo", "k", "width", "n", "tb", "interpret", "store_batch"
+    ),
 )
 def _histogram_span_tiles_impl(
-    tiles, lo: int, k: int, width, n, tb, interpret, block_offset
+    tiles, lo: int, k: int, width, n, tb, interpret, block_offset,
+    store_batch: int = 8,
 ):
     _, b1, lanes = tiles.shape
     assert lanes == LANES
@@ -1438,7 +1699,8 @@ def _histogram_span_tiles_impl(
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     cnt = pl.pallas_call(
         functools.partial(
-            _histogram_span_kernel, width=width, tb=tb, n=n, lo=lo, k=k
+            _histogram_span_kernel, width=width, tb=tb, n=n, lo=lo, k=k,
+            store_batch=store_batch,
         ),
         out_shape=jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
         grid=(b1 // tb,),

@@ -403,6 +403,50 @@ def sharded_linear_scan(
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "keys_tuple", "width", "n", "tb", "interpret"),
+)
+def _sharded_static_linear_scan_tiles(
+    tiles, *, mesh, keys_tuple, width, n, tb, interpret
+):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+    keys = np.asarray(keys_tuple, np.uint32)
+
+    def local(tiles_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        out, cnt = scan_ops.static_scan_linear_words_tiles(
+            tiles_l, keys, width, n, tb=tb, interpret=interpret,
+            block_offset=off, flat=False,
+        )
+        return out, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None),),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles)
+
+
+def sharded_static_linear_scan(
+    dev: DeviceColumn, keys, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded FUSED linear export for ANY concrete key set (the
+    static-AND-DAG sibling of :func:`sharded_linear_scan`; k must
+    satisfy linear._mxu_supported).  Same block-sharded contiguous
+    output contract; counts psum-reduced."""
+    arr = np.asarray(keys, dtype=np.uint32)
+    out, counts = _sharded_static_linear_scan_tiles(
+        dev.tiles, mesh=mesh, keys_tuple=tuple(int(v) for v in arr),
+        width=dev.width, n=dev.n, tb=tb, interpret=interpret,
+    )
+    nwords = ((dev.n + 7) // 8) * arr.shape[0] // 4
+    return out.reshape(-1)[:nwords], counts
+
+
+@functools.partial(
     jax.jit, static_argnames=("mesh", "width", "n", "tb", "interpret")
 )
 def _sharded_range_scan_tiles(tiles, lows, highs, *, mesh, width, n, tb, interpret):

@@ -281,6 +281,11 @@ def zone_step_mask(zmap: ZoneMap, lo: int, hi: int, tb: int) -> np.ndarray:
     hit = (zmap.zmax.astype(np.uint64) >= lo) & (
         zmap.zmin.astype(np.uint64) < hi
     )
+    if zmap.b1 % tb:
+        # floor division would silently drop the tail block-rows from
+        # the mask and prune live data (review finding); internal
+        # callers always pass a _pick_tb divisor
+        raise ValueError(f"tb={tb} must divide b1={zmap.b1}")
     steps = zmap.b1 // tb
     live = np.zeros(steps, bool)
     for s in range(steps):

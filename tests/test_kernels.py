@@ -544,6 +544,93 @@ def test_fused_interval_linear_matches_oracle(k, width, dot):
     )
 
 
+@pytest.mark.parametrize("k,width", [(4, 9), (8, 9), (16, 9), (8, 13)])
+@pytest.mark.parametrize("dot", ["bf16", "s8"])
+def test_fused_static_linear_matches_oracle(k, width, dot):
+    # fused static-DAG scan+interleave kernel (ARBITRARY concrete keys):
+    # linear words + counts vs the numpy oracle, including the n tail
+    # and out-of-domain key rows
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(33)
+    n = 40_000 - 7
+    vals = rng.integers(0, 1 << width, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, width))
+    # spread keys, one pushed out of domain
+    keys = ((np.arange(k, dtype=np.uint32) * 97 + 11) % (1 << width))
+    keys[-1] = (1 << width) + 3  # out-of-domain -> zero row
+    words, counts = scan_ops.static_scan_linear_words_tiles(
+        dev.tiles, keys, width, n, interpret=True, dot=dot
+    )
+    nbytes = (n + 7) // 8
+    exp_bits = np.zeros((k, nbytes * 8), np.uint8)
+    for j in range(k):
+        if keys[j] < (1 << width):
+            exp_bits[j, :n] = vals == keys[j]
+    exp_lin = np.packbits(
+        exp_bits.reshape(k, nbytes, 8), axis=-1, bitorder="little"
+    ).reshape(k, nbytes).T.reshape(-1)
+    got = np.asarray(words).view(np.uint8)[: nbytes * k]
+    np.testing.assert_array_equal(got, exp_lin)
+    np.testing.assert_array_equal(
+        np.asarray(counts), exp_bits.sum(axis=1).astype(np.uint32)
+    )
+
+
+@pytest.mark.parametrize("k", [24, 32])
+def test_fused_static_linear_large_matches_oracle(k):
+    # hierarchical fused static export for arbitrary concrete keys:
+    # per-8-group static-DAG kernels + g=2 stream interleave, caller
+    # order preserved (the linear byte contract is order-sensitive)
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(35)
+    width, n = 9, 21_000
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, width))
+    keys = np.unique(rng.integers(0, 512, 4 * k, dtype=np.uint32))[:k]
+    rng.shuffle(keys)  # caller order != sorted
+    words, counts = scan_ops.static_scan_linear_words_large(
+        dev.tiles, keys, width, n, interpret=True
+    )
+    nbytes = (n + 7) // 8
+    exp_bits = np.zeros((k, nbytes * 8), np.uint8)
+    for j in range(k):
+        exp_bits[j, :n] = vals == keys[j]
+    exp_lin = np.packbits(
+        exp_bits.reshape(k, nbytes, 8), axis=-1, bitorder="little"
+    ).reshape(k, nbytes).T.reshape(-1)
+    np.testing.assert_array_equal(
+        np.asarray(words).view(np.uint8)[: nbytes * k], exp_lin
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counts), exp_bits.sum(axis=1).astype(np.uint32)
+    )
+
+
+def test_linear_uint8_device_fused_concrete_spread():
+    # the uint8 linear dispatcher must route concrete spread keys
+    # through the fused words path and keep the byte contract
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(37)
+    n = 9_000
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, 9))
+    keys = np.array([3, 471, 12, 200, 77, 508, 130, 9], np.uint32)
+    got = np.asarray(
+        scan_ops.shared_scan_linear_device(dev, keys, interpret=True)
+    )
+    nbytes = (n + 7) // 8
+    eb = np.zeros((8, nbytes * 8), np.uint8)
+    for j, key in enumerate(keys):
+        eb[j, :n] = vals == key
+    exp = np.packbits(
+        eb.reshape(8, nbytes, 8), axis=-1, bitorder="little"
+    ).reshape(8, nbytes).T.reshape(-1)
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_linear_words_device_dispatches_fused_consecutive():
     # concrete consecutive keys must produce the same words through the
     # dispatcher (fused kernel) as through the two-kernel fallback path
@@ -588,10 +675,11 @@ def test_interleave_streams_matches_numpy(m, g):
     np.testing.assert_array_equal(got, exp)
 
 
-@pytest.mark.parametrize("k", [24, 32, 64])
+@pytest.mark.parametrize("k", [20, 24, 28, 32, 64])
 def test_interleave_mxu_large_matches_byte_oracle(k):
-    # hierarchical large-k interleave: byte-level groups of 8 + g=2 word
-    # stream pass must reproduce the exact linear byte contract
+    # hierarchical large-k interleave: byte-level groups of 8 (g=2) or
+    # 4 (g=1, the k = 4m odd-m column) must reproduce the exact linear
+    # byte contract
     from shared_simd_scan_tpu.ops import linear as linear_ops
 
     rng = np.random.default_rng(29)
@@ -638,6 +726,7 @@ def test_fuzz_linear_words_device():
     for k, width, consec in (
         (4, 7, True), (8, 9, False), (12, 11, True), (16, 9, False),
         (24, 9, True), (24, 9, False), (32, 13, True), (20, 9, False),
+        (20, 9, True), (28, 9, False),
     ):
         n = int(rng.integers(5_000, 30_000))
         dom = 1 << width
