@@ -167,15 +167,37 @@ def chain_copy(x, salt, k):
     return jnp.sum(y[0] + y[-1]).astype(jnp.uint32)
 
 
+def _memcpy_kernel(i_ref, o_ref):
+    o_ref[...] = i_ref[...]
+
+
 @functools.partial(jax.jit, static_argnames=("k",))
 def chain_memcpy(x, salt, k):
     """Explicit-copy comparator (benchmark_misc.cpp:36-52's memcpy row):
-    each iteration is one full-buffer contiguous copy — roll-by-1, so the
-    body cannot be elided as identity; traffic equals memcpy's
-    read + write."""
-    x = x.at[0].set(salt.astype(x.dtype))
-    y = jax.lax.fori_loop(0, k, lambda i, a: jnp.roll(a, 1), x)
-    return (y[0] + y[-1]).astype(jnp.uint32)
+    each iteration is one full-buffer Pallas copy kernel — pure block
+    DMA, no ALU op in the body, input_output_aliases so the stream is
+    read+write of every byte with no extra buffer.  Without the alias,
+    every loop-carried formulation tried (jnp.roll at any shift, fresh-
+    output pallas copy, per-iteration salt) measured exactly HALF the
+    streaming rate: the un-donated output forces a second full
+    materialization per iteration."""
+    from jax.experimental import pallas as pl
+
+    n = x.shape[0]
+    rows = n // 1024
+    tb = 512 if rows % 512 == 0 else 8
+    assert rows % tb == 0 and n % 1024 == 0, "memcpy row wants 4 KB-divisible sizes"
+    copy = pl.pallas_call(
+        _memcpy_kernel,
+        out_shape=jax.ShapeDtypeStruct((rows, 1024), x.dtype),
+        grid=(rows // tb,),
+        in_specs=[pl.BlockSpec((tb, 1024), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((tb, 1024), lambda i: (i, 0)),
+        input_output_aliases={0: 0},
+    )
+    xb = x.reshape(rows, 1024).at[0, 0].set(salt.astype(x.dtype))
+    y = jax.lax.fori_loop(0, k, lambda i, a: copy(a), xb)
+    return (y[0, 0] + y[-1, -1]).astype(jnp.uint32)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "width", "tb"))

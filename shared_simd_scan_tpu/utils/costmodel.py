@@ -17,8 +17,14 @@ Caveats (documented, not hidden):
   an upper bound; the kernels use pl.when only for the tail-masking step
   and the once-per-tile scratch fill, so the bound is tight for large
   columns.
-- cross-sublane reductions (the per-key count partials) and scalar/SMEM
-  ops are excluded; both are <1% of issue slots at the default tiles.
+- cross-sublane reductions (the per-key count partials) are counted as
+  ONE elementwise-equivalent each (the reduction reads its full (tb,
+  128) input once; the log-depth combine stages are a small constant on
+  top).  They were EXCLUDED until round 5, which held the k=512 span
+  histogram at a mysterious 1.23x its fitted bound: a counts-only
+  kernel with 512 keys issues 512 reductions per grid step — ~27% of
+  its counted body, not the "<1%" the original caveat assumed.
+- scalar/SMEM ops are excluded (<1% of issue slots at default tiles).
 """
 from __future__ import annotations
 
@@ -38,6 +44,13 @@ ALU_PRIMS = frozenset({
 
 _CALL_PRIMS = {"pjit", "jit", "closed_call", "custom_jvp_call",
                "custom_vjp_call", "remat", "checkpoint"}
+
+# Cross-sublane reductions: one elementwise-equivalent each (see module
+# docstring).
+REDUCE_PRIMS = frozenset({
+    "reduce_sum", "reduce_max", "reduce_min", "reduce_and", "reduce_or",
+    "reduce_prod",
+})
 
 
 def _sub_jaxprs(params: dict) -> list:
@@ -78,6 +91,12 @@ def _count_alu(jaxpr, counts: Counter) -> None:
             # dynamic loops: count one iteration (callers multiply)
             for sub in _sub_jaxprs(eqn.params):
                 _count_alu(sub, counts)
+            continue
+        if name in REDUCE_PRIMS:
+            aval_in = eqn.invars[0].aval
+            shp = getattr(aval_in, "shape", ())
+            if len(shp) >= 2 and shp[-1] == 128:
+                counts[name] += 1
             continue
         if name not in ALU_PRIMS:
             continue
