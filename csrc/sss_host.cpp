@@ -410,6 +410,38 @@ void sss_interleave(const uint8_t* bits, uint64_t stride, int k,
           }
         }
       }
+    } else if (k % 4 == 0) {
+      // quad passes (k = 4m, m odd — e.g. k=20 ran the scalar loop at
+      // ~11 GB/s): 2-stage unpack byte transpose of 4 streams -> 4-byte
+      // units, one 4-byte store per (group, key-quad)
+      const uint64_t vend = lo + (hi - lo) / 32 * 32;
+      for (int q = 0; q + 4 <= k; q += 4) {
+        for (g = lo; g + 32 <= vend; g += 32) {
+          const uint8_t* s = bits + (uint64_t)q * stride + g;
+          const __m256i r0 = _mm256_loadu_si256((const __m256i*)(s + 0 * stride));
+          const __m256i r1 = _mm256_loadu_si256((const __m256i*)(s + 1 * stride));
+          const __m256i r2 = _mm256_loadu_si256((const __m256i*)(s + 2 * stride));
+          const __m256i r3 = _mm256_loadu_si256((const __m256i*)(s + 3 * stride));
+          const __m256i t0 = _mm256_unpacklo_epi8(r0, r1);
+          const __m256i t1 = _mm256_unpackhi_epi8(r0, r1);
+          const __m256i t2 = _mm256_unpacklo_epi8(r2, r3);
+          const __m256i t3 = _mm256_unpackhi_epi8(r2, r3);
+          // u[i]: lane0 = groups 4i..4i+3, lane1 = groups 16+4i..16+4i+3,
+          // each a 4-byte unit of keys q..q+3
+          const __m256i u[4] = {
+              _mm256_unpacklo_epi16(t0, t2), _mm256_unpackhi_epi16(t0, t2),
+              _mm256_unpacklo_epi16(t1, t3), _mm256_unpackhi_epi16(t1, t3)};
+          uint8_t* o = out + g * (uint64_t)k + q;
+          for (int i = 0; i < 4; ++i) {
+            alignas(32) uint32_t lanes[8];
+            _mm256_store_si256((__m256i*)lanes, u[i]);
+            for (int j = 0; j < 4; ++j) {
+              std::memcpy(o + (uint64_t)(4 * i + j) * k, &lanes[j], 4);
+              std::memcpy(o + (uint64_t)(4 * i + j + 16) * k, &lanes[4 + j], 4);
+            }
+          }
+        }
+      }
     }
 #endif
     for (; g < hi; ++g)
