@@ -121,12 +121,22 @@ def main(argv):
          "fused single-pass scan+interleave, int8 MXU dots (consecutive keys)"
          if _mxu_supported(k) else
          "fused-hierarchical scan+interleave (consecutive keys, no bits round-trip)"),
-    ] if not spread and mxu_any else []) + [
-        ("linear-mxu-words", harness.chain_linear_shared_scan,
+    ] if not spread and mxu_any else []) + ([
+        ("linear-fused-traced", harness.chain_linear_shared_scan,
          {"relayout": "words"},
-         "two-kernel export: traced-keys scan + s8 MXU relayout"
+         "dispatcher, TRACED keys: fused bit-sliced scan+interleave "
+         "(round 5 - one compiled program for any runtime key values)"),
+        ("linear-twokernel", harness.chain_linear_shared_scan,
+         {"relayout": "twokernel"},
+         "two-kernel comparator: traced-keys scan + s8 MXU relayout"
          + ("; hierarchical 2-level interleave"
             if _mxu_large_supported(k) and not _mxu_supported(k) else "")),
+    ] if mxu_any else [
+        ("linear-mxu-words", harness.chain_linear_shared_scan,
+         {"relayout": "words"},
+         "two-kernel export via the words dispatcher (stack relayout; "
+         "k outside every MXU tier)"),
+    ]) + [
         ("linear-mxu-u8view", harness.chain_linear_shared_scan,
          {"relayout": "dispatch"},
          "adds the u8 device view: 16.5x-padded bitcast materialization"),

@@ -373,7 +373,24 @@ def chain_linear_shared_scan(
             )
             return acc + jnp.sum(out) + jnp.sum(cnt)
         if relayout == "words":
+            # dispatcher with traced keys — since round 5 this is the
+            # FUSED traced-keys tier, not the two-kernel path
             out = scan_ops.shared_scan_linear_words_device(dev, kv, tb=tb)
+        elif relayout == "twokernel":
+            # the explicit scan -> MXU-relayout comparator (what the
+            # traced dispatch used to do before the fused traced tier)
+            from shared_simd_scan_tpu.ops.linear import (
+                _mxu_supported as _sup,
+                interleave_mxu_words,
+                interleave_mxu_words_large,
+            )
+
+            bits, _ = scan_ops.shared_scan_device(dev, kv, tb=tb)
+            out = (
+                interleave_mxu_words(bits, (n + 7) // 8 * kk // 4)
+                if _sup(kk)
+                else interleave_mxu_words_large(bits, (n + 7) // 8)
+            )
         elif relayout == "dispatch":
             out = scan_ops.shared_scan_linear_device(dev, kv, tb=tb)
         else:

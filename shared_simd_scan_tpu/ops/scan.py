@@ -412,21 +412,22 @@ def shared_scan_linear_device(
         interleave_device,
     )
 
-    if not isinstance(keys, jax.core.Tracer):
-        arr = np.asarray(keys, dtype=np.uint32)
-        k = int(arr.shape[0])
-        if _mxu_supported(k) or _mxu_large_supported(k):
-            # fused single-pass words export + uint8 view (same bitcast
-            # the MXU relayout's uint8 form pays; the scan+interleave
-            # themselves skip the (k, W) bits round-trip)
-            words = shared_scan_linear_words_device(
-                dev, arr, tb=tb, interpret=interpret
-            )
-            nbytes = (dev.n + 7) // 8
-            return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
-                -1
-            )[: nbytes * k]
-        keys = arr
+    traced = isinstance(keys, jax.core.Tracer)
+    if not traced:
+        keys = np.asarray(keys, dtype=np.uint32)
+    k = int(keys.shape[0])
+    if _mxu_supported(k) or _mxu_large_supported(k):
+        # fused single-pass words export + uint8 view (same bitcast the
+        # MXU relayout's uint8 form pays; the scan+interleave themselves
+        # skip the (k, W) bits round-trip).  Concrete keys pick the
+        # interval/static bodies; traced keys the bit-sliced one.
+        words = shared_scan_linear_words_device(
+            dev, keys, tb=tb, interpret=interpret
+        )
+        nbytes = (dev.n + 7) // 8
+        return jax.lax.bitcast_convert_type(words, jnp.uint8).reshape(
+            -1
+        )[: nbytes * k]
     keys = jnp.asarray(keys, jnp.uint32)
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)  # (k, W)
     return interleave_device(bits, (dev.n + 7) // 8, interpret=interpret)
@@ -487,6 +488,19 @@ def shared_scan_linear_words_device(
                 dev.tiles, keys, dev.width, dev.n, tb=tb,
                 interpret=interpret,
             )
+        return out
+    if traced and _mxu_supported(k):
+        # TRACED keys: the fused bit-sliced body — one compiled program
+        # for any runtime key values, still no (k, W) bits round-trip
+        out, _ = bitsliced_scan_linear_words_tiles(
+            dev.tiles, keys, dev.width, dev.n, tb=tb, interpret=interpret
+        )
+        return out
+    if traced and _mxu_large_supported(k):
+        out, _ = bitsliced_scan_linear_words_large(
+            dev.tiles, keys, k, dev.width, dev.n, tb=tb,
+            interpret=interpret,
+        )
         return out
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
     nbytes = (dev.n + 7) // 8
@@ -934,6 +948,201 @@ def static_scan_linear_words_large(
     return out, jnp.concatenate(counts)
 
 
+def _bitsliced_linear_kernel(
+    off_ref, keys_ref, perm_ref, in_ref, out_ref, cnt_ref,
+    *, width, tb, n, k, dot,
+):
+    """FUSED bit-sliced scan + MXU linear interleave for TRACED keys:
+    the runtime-keys sibling of :func:`_static_linear_kernel` — per-key
+    rows come from the scalar plane fold over SMEM keys (the bit-sliced
+    tier's body, any key values at run time, one compiled program), then
+    interleave in-register.  Out-of-domain keys produce zero rows via
+    the whole-key kill mask."""
+    from shared_simd_scan_tpu.ops.linear import _mxu_interleave_rows
+
+    i = pl.program_id(0)
+    vs = [v for _, v in _unpack_block_values(in_ref, width)]
+    planes = _transpose_bitplanes(vs, width)
+    dom = jnp.uint32(1 << width)
+    one = jnp.uint32(1)
+    rows = []
+    for j in range(k):
+        key = keys_ref[j, 0]
+        km = jnp.where(key < dom, jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        acc = None
+        for p in range(width):
+            mask = ((key >> jnp.uint32(p)) & one) - one
+            term = planes[p] ^ mask
+            acc = term if acc is None else acc & term
+        rows.append(acc & km)
+
+    full, rem = n // BLOCK_VALUES, n % BLOCK_VALUES
+    r0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 0)
+    l0 = jax.lax.broadcasted_iota(jnp.int32, (tb, LANES), 1)
+    blk = off_ref[0, 0] + (i * tb + r0) * LANES + l0
+    valid = jnp.where(
+        blk < full,
+        jnp.uint32(0xFFFFFFFF),
+        jnp.where(blk == full, jnp.uint32((1 << rem) - 1 if rem else 0),
+                  jnp.uint32(0)),
+    )
+    rows = [r & valid for r in rows]
+    for j, r in enumerate(rows):
+        cnt_ref[0, j] = jnp.sum(
+            jax.lax.population_count(r).astype(jnp.int32), axis=0
+        )
+    out_ref[...] = _mxu_interleave_rows(rows, perm_ref[...], k, dot)
+
+
+def _bitsliced_linear_tb(
+    b1: int, width: int, k: int, dot: str, tb: int | None = None
+) -> int:
+    """Tile rule for the fused traced-keys linear kernel: the static
+    rule's interleave terms with the plane fold's flat live set (planes
+    + one rolling acc) in place of measured DAG liveness."""
+    perm_bytes = (128 * k) ** 2 * {"s8": 1, "bf16": 2, "f32": 4}[dot]
+    per_tb = (
+        512 * (2 * width + width + 32 + (width + 8) + 64 + 2 * k)
+        + 128 * k * 4 * 5
+    )
+    headroom = 12_000_000 - perm_bytes
+    if headroom < 8 * per_tb:
+        raise ValueError(
+            f"fused traced linear kernel VMEM budget: perm"
+            f" ({perm_bytes / 1e6:.1f} MB at k={k}, dot={dot!r}) leaves no"
+            " room for a tb=8 tile; use dot='s8' or the two-kernel path"
+        )
+    cap = max(8, (headroom // per_tb) // 8 * 8)
+    return _pick_tb(b1, tb if tb is not None else min(128, cap))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "width", "n", "tb", "interpret", "dot"),
+)
+def _bitsliced_linear_tiles_impl(
+    tiles, keys, k, width, n, tb, interpret, dot, block_offset=0
+):
+    from shared_simd_scan_tpu.ops.linear import _perm_matrix
+
+    _, b1, lanes = tiles.shape
+    assert lanes == LANES
+    tb = _bitsliced_linear_tb(b1, width, k, dot, tb)
+    keys2 = keys.astype(jnp.uint32).reshape(k, 1)
+    off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
+    perm = _perm_matrix(k, dot)
+    out, cnt = pl.pallas_call(
+        functools.partial(
+            _bitsliced_linear_kernel,
+            width=width, tb=tb, n=n, k=k, dot=dot,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b1, 128 * k), jnp.uint32),
+            jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
+        ),
+        grid=(b1 // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((k, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (LANES * k, LANES * k), lambda i: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (width, tb, LANES), lambda i: (0, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (tb, 128 * k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, k, LANES), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ),
+        interpret=interpret,
+    )(off, keys2, perm, tiles)
+    counts = jnp.sum(cnt.astype(jnp.uint32), axis=(0, 2))
+    return out, counts
+
+
+def bitsliced_scan_linear_words_tiles(
+    tiles: jax.Array,
+    keys,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    dot: str = "s8",
+    block_offset: jax.Array | int = 0,
+    flat: bool = True,
+) -> tuple[jax.Array, jax.Array]:
+    """Fused shared scan -> (uint32[nbytes*k/4] linear words, (k,)
+    uint32 counts) for TRACED (runtime) keys — one compiled program for
+    any key values; k must satisfy linear._mxu_supported.  Concrete
+    callers should prefer the interval/static siblings (cheaper
+    bodies); this tier exists so runtime-key queries skip both the
+    recompile AND the (k, W) bits round-trip."""
+    from shared_simd_scan_tpu.ops.linear import _mxu_supported
+
+    keys = jnp.asarray(keys, jnp.uint32)
+    k = int(keys.shape[0])
+    if not _mxu_supported(k):
+        raise ValueError(f"fused linear traced scan needs k in 4/8/12/16, got {k}")
+    out, counts = _bitsliced_linear_tiles_impl(
+        tiles, keys, k, width, n, tb, interpret, dot, block_offset
+    )
+    if not flat:
+        return out, counts
+    nwords = ((n + 7) // 8) * k // 4
+    return out.reshape(-1)[:nwords], counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "width", "n", "tb", "interpret", "dot")
+)
+def bitsliced_scan_linear_words_large(
+    tiles: jax.Array,
+    keys,
+    k: int,
+    width: int,
+    n: int,
+    tb: int | None = None,
+    interpret: bool = False,
+    dot: str = "s8",
+) -> tuple[jax.Array, jax.Array]:
+    """Fused HIERARCHICAL linear export for TRACED keys,
+    linear._mxu_large_supported k: level 1 runs the fused traced-keys
+    kernel per key group (slicing a traced key vector is free), level 2
+    the stream interleave — runtime-key large-k export with no bits
+    round-trip and one compiled program per (k, width, n)."""
+    from shared_simd_scan_tpu.ops.linear import (
+        _hier_group,
+        _mxu_large_supported,
+        interleave_streams_mxu_words,
+    )
+
+    assert _mxu_large_supported(k)
+    keys = jnp.asarray(keys, jnp.uint32)
+    gs = _hier_group(k)
+    m = k // gs
+    groups, counts = [], []
+    for G in range(m):
+        out_g, cnt_g = bitsliced_scan_linear_words_tiles(
+            tiles, keys[gs * G : gs * G + gs], width, n, tb=tb,
+            interpret=interpret, dot=dot, flat=False,
+        )
+        groups.append(out_g.reshape(-1))
+        counts.append(cnt_g)
+    streams = jnp.stack(groups)
+    nwords = ((n + 7) // 8) * k // 4
+    out = interleave_streams_mxu_words(
+        streams, gs // 4, nwords, interpret=interpret, dot=dot
+    )
+    return out, jnp.concatenate(counts)
+
+
 def popcount_bits(bits: jax.Array) -> jax.Array:
     """Hit counts from canonical bitvector words (axis -1)."""
     return jnp.sum(jax.lax.population_count(bits).astype(jnp.int32), axis=-1)
@@ -953,6 +1162,8 @@ __all__ = [
     "interval_scan_linear_words_large",
     "static_scan_linear_words_tiles",
     "static_scan_linear_words_large",
+    "bitsliced_scan_linear_words_tiles",
+    "bitsliced_scan_linear_words_large",
     "histogram_tiles",
     "histogram_dag_tiles",
     "histogram_device",

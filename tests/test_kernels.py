@@ -8,6 +8,7 @@ reference's coverage gap (SURVEY.md §4).
 import json
 import pathlib
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -606,6 +607,69 @@ def test_fused_static_linear_large_matches_oracle(k):
     np.testing.assert_array_equal(
         np.asarray(counts), exp_bits.sum(axis=1).astype(np.uint32)
     )
+
+
+@pytest.mark.parametrize("k", [8, 12])
+def test_fused_traced_linear_matches_oracle(k):
+    # fused TRACED-keys scan+interleave: one compiled program, any
+    # runtime key values — words + counts vs the numpy oracle, n tail
+    # and out-of-domain keys included
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(39)
+    width, n = 9, 33_000 - 5
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, width))
+    keys = ((np.arange(k, dtype=np.uint32) * 73 + 19) % 512)
+    keys[0] = 700  # out-of-domain
+    words, counts = jax.jit(
+        lambda kv: scan_ops.bitsliced_scan_linear_words_tiles(
+            dev.tiles, kv, width, n, interpret=True
+        )
+    )(jnp.asarray(keys))
+    nbytes = (n + 7) // 8
+    eb = np.zeros((k, nbytes * 8), np.uint8)
+    for j, key in enumerate(keys):
+        if key < 512:
+            eb[j, :n] = vals == key
+    exp = np.packbits(
+        eb.reshape(k, nbytes, 8), axis=-1, bitorder="little"
+    ).reshape(k, nbytes).T.reshape(-1)
+    np.testing.assert_array_equal(
+        np.asarray(words).view(np.uint8)[: nbytes * k], exp
+    )
+    np.testing.assert_array_equal(
+        np.asarray(counts), eb.sum(axis=1).astype(np.uint32)
+    )
+
+
+def test_linear_words_device_traced_dispatch():
+    # the words dispatcher inside a jit (keys traced) must route through
+    # the fused traced tier at k=8 and the hierarchical one at k=24,
+    # matching the oracle bytes
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    rng = np.random.default_rng(43)
+    n = 9_000
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, 9))
+    nbytes = (n + 7) // 8
+    for k in (8, 24):
+        keys = ((np.arange(k, dtype=np.uint32) * 59 + 3) % 512)
+        got = np.asarray(jax.jit(
+            lambda kv: scan_ops.shared_scan_linear_words_device(
+                dev, kv, interpret=True
+            )
+        )(jnp.asarray(keys)))
+        eb = np.zeros((k, nbytes * 8), np.uint8)
+        for j, key in enumerate(keys):
+            eb[j, :n] = vals == key
+        exp = np.packbits(
+            eb.reshape(k, nbytes, 8), axis=-1, bitorder="little"
+        ).reshape(k, nbytes).T.reshape(-1)
+        np.testing.assert_array_equal(
+            got.view(np.uint8)[: nbytes * k], exp, err_msg=f"{k=}"
+        )
 
 
 def test_linear_uint8_device_fused_concrete_spread():
