@@ -79,6 +79,15 @@ def main(argv):
                 ),
                 t,
             )["per_value"]
+        elif op == "linear-fused-traced":
+            t = rof._tiny(rof.WIDTH)
+            nt = t.shape[1] * 128 * 32
+            ops = count_vector_ops(
+                lambda x, kj, kk=k: scan_ops._bitsliced_linear_tiles_impl(
+                    x, kj, kk, rof.WIDTH, nt, None, False, "s8", 0
+                ),
+                t, jnp.arange(k, dtype=jnp.uint32),
+            )["per_value"]
         elif op.startswith("interval-scan-w"):
             wn = int(op.rsplit("w", 1)[1])
             t = rof._tiny(wn)

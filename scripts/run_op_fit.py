@@ -413,6 +413,35 @@ def main(argv):
         emit("linear-fused-s8", kk, None, m, c["per_value"], b1 // tbf,
              nbytes * kk + (b1 // tbf) * kk * LANES * 4, 0, ok, macs)
 
+    # the TRACED-keys fused export (round 5): same MACs, plane-fold body
+    kk = 8
+    t = _tiny(WIDTH)
+    nt = t.shape[1] * 128 * 32
+    c = count_vector_ops(
+        lambda x, kj: scan_ops._bitsliced_linear_tiles_impl(
+            x, kj, kk, WIDTH, nt, None, False, "s8", 0
+        ),
+        t, jnp.arange(kk, dtype=jnp.uint32),
+    )
+    tbf = scan_ops._bitsliced_linear_tb(b1, WIDTH, kk, "s8")
+    macs = 4 * b1 * 16384 * kk * kk
+    wv, cnt = scan_ops.bitsliced_scan_linear_words_tiles(
+        pdev.tiles, jnp.arange(kk, dtype=jnp.uint32), WIDTH, n, flat=False
+    )
+    ok = bool((np.asarray(cnt) == hist_full[:kk].astype(np.uint32)).all())
+    del wv
+    m = measure_loop(
+        functools.partial(
+            harness.chain_linear_shared_scan, width=WIDTH, n=n, tb=None,
+            kk=kk, relayout="words",
+        ),
+        (pdev.tiles,), trials=reps,
+        est_iter_s=(pbytes + nbytes * kk) / 150e9,
+        salt0=salt0(("lintraced", kk)),
+    )
+    emit("linear-fused-traced", kk, None, m, c["per_value"], b1 // tbf,
+         nbytes * kk + (b1 // tbf) * kk * LANES * 4, 0, ok, macs)
+
     # hierarchical relayout on pre-made bits (k=32): word-grid kernels, so
     # convert static eqn counts to per-VALUE via total element-ops / n
     kk = 32

@@ -1089,7 +1089,7 @@ def bench_linear(
     ] if _mxu_supported(k) else []
     variants = fused_rows + [
         (
-            f"pallas linear shared scan k={k} (two-kernel u8 view)",
+            f"pallas linear shared scan k={k} (traced-keys dispatch, u8 view)",
             chain_linear_shared_scan,
             (dev.tiles,),
             dict(width=width, n=n, tb=None, kk=k),

@@ -672,6 +672,31 @@ def test_linear_words_device_traced_dispatch():
         )
 
 
+def test_linear_words_dispatch_no_tracer_demotion(monkeypatch):
+    # concrete numpy keys closed over inside a jit must stay on the
+    # CONCRETE fused tiers (the round-2 jnp.asarray-before-Tracer-check
+    # demotion bug class): forcing the traced tier to raise proves the
+    # route
+    from shared_simd_scan_tpu.ops import scan as scan_ops
+
+    def _boom(*a, **k):
+        raise AssertionError("concrete keys demoted to the traced tier")
+
+    monkeypatch.setattr(scan_ops, "bitsliced_scan_linear_words_tiles", _boom)
+    monkeypatch.setattr(scan_ops, "bitsliced_scan_linear_words_large", _boom)
+    rng = np.random.default_rng(51)
+    n = 9_000
+    vals = rng.integers(0, 512, n, dtype=np.uint32)
+    dev = layout.to_device(layout.pack(vals, 9))
+    keys = np.array([9, 300, 44, 501, 2, 60, 120, 7], np.uint32)  # spread
+    out = jax.jit(
+        lambda t: scan_ops.shared_scan_linear_words_device(
+            layout.DeviceColumn(width=9, n=n, tiles=t), keys, interpret=True
+        )
+    )(dev.tiles)
+    assert out.shape[0] == ((n + 7) // 8) * 8 // 4
+
+
 def test_linear_uint8_device_fused_concrete_spread():
     # the uint8 linear dispatcher must route concrete spread keys
     # through the fused words path and keep the byte contract
