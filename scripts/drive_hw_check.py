@@ -233,6 +233,20 @@ assert np.array_equal(
     np.asarray(jax.device_get(gw20)).view(np.uint8)[: _nb * 20], eslin20
 ), "groups-of-4 hierarchical words wrong"
 
+# 10d (round 5). fused TRACED-keys export: one compiled program, re-keyed
+step("linear export (fused traced keys)")
+_tfn = jax.jit(
+    lambda kv: _sc.shared_scan_linear_words_device(
+        layout.DeviceColumn(width=WIDTH, n=N, tiles=dev.tiles), kv
+    )
+)
+for tkeys in (skeys8, np.array([5, 505, 250, 1, 333, 87, 410, 96], np.uint32)):
+    etl, _ = _lin_expect(tkeys)
+    tw_ = np.asarray(jax.device_get(_tfn(jnp.asarray(tkeys))))
+    assert np.array_equal(
+        tw_.view(np.uint8)[: _nb * 8], etl
+    ), "traced fused linear words wrong"
+
 # 12 (round 5). encoding/null layers + io on hardware (VERDICT r4 item 7)
 step("nullable Kleene tree")
 from shared_simd_scan_tpu import nullable, forcol, dictcol, io as sss_io  # noqa: E402
