@@ -284,6 +284,11 @@ def _member_ortree_tiles(tiles, width, n, tb, interpret, patterns, block_offset)
         ),
         dummy, 1, tiles, width, n, tb, interpret, block_offset,
         extra_rows=width + 32 + live,
+        # big straight-line OR-tree bodies schedule better on smaller
+        # tiles: measured v5e 512 MiB k=100 sweep auto(176)/64/96/128/
+        # 192/256 = 2.03/1.74/1.73/1.84/2.03/2.17 ms — tb=96 lands
+        # exactly on the fitted bound (was x1.18 at the old auto)
+        tb_cap=96,
     )
     return bits[0], jnp.sum(cnt.astype(jnp.uint32))
 
@@ -381,16 +386,18 @@ def _bitsliced_member_wins(width: int, k: int) -> bool:
     return 48 + (2 * width + 1) * k // 8 < 10 * k
 
 
-def _member_tb(width: int, extra: int, b1: int, tb: int | None) -> int:
+def _member_tb(
+    width: int, extra: int, b1: int, tb: int | None, cap: int = 256
+) -> int:
     per_tb = 512 * (2 * width + 2 + extra)
-    tb_auto = min(256, max(8, (12_000_000 // per_tb) // 8 * 8))
+    tb_auto = min(cap, max(8, (12_000_000 // per_tb) // 8 * 8))
     return _pick_tb(b1, tb if tb is not None else tb_auto)
 
 
 def _member_call(
     kernel_fn, operand, op_rows: int, tiles, width, n, tb, interpret,
     block_offset, nchunks: int = 1, scratch_rows: int = 0,
-    extra_rows: int = 0,
+    extra_rows: int = 0, tb_cap: int = 256,
 ):
     """Shared pallas_call plumbing for the member kernels.
 
@@ -405,7 +412,7 @@ def _member_call(
     _, b1, lanes = tiles.shape
     assert lanes == LANES
     extra = scratch_rows + extra_rows + 8
-    tb = _member_tb(width, extra, b1, tb)
+    tb = _member_tb(width, extra, b1, tb, cap=tb_cap)
     kernel = kernel_fn(tb)
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     if nchunks == 1:
