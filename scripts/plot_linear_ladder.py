@@ -23,6 +23,12 @@ def main(argv):
             p = r["path"]
             # later files (k-specific) win on duplicates
             series.setdefault(p, {})[k] = float(r["ms"])
+    for r in csv.DictReader(
+        open("bench_results/static_linear_sweep_v5e_512m.csv", newline="")
+    ):
+        series.setdefault("linear-fused-static-s8", {})[int(r["k"])] = float(
+            r["ms"]
+        )
 
     label = {
         "linear-fused-s8": "fused single-pass (consecutive keys)",
