@@ -17,11 +17,14 @@ def main(argv):
     import matplotlib.pyplot as plt
 
     series: dict[str, dict[int, float]] = {}
-    for path in glob.glob("bench_results/linear*_v5e_512m.csv"):
+    # sorted() so duplicate (path, k) precedence is deterministic across
+    # filesystems (glob order is OS-dependent); later files
+    # lexicographically win, which puts the k-specific and spread CSVs
+    # after the base linear_v5e file
+    for path in sorted(glob.glob("bench_results/linear*_v5e_512m.csv")):
         for r in csv.DictReader(open(path, newline="")):
             k = int(r["k"])
             p = r["path"]
-            # later files (k-specific) win on duplicates
             series.setdefault(p, {})[k] = float(r["ms"])
     for r in csv.DictReader(
         open("bench_results/static_linear_sweep_v5e_512m.csv", newline="")

@@ -24,6 +24,8 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
+import jax.numpy as jnp  # noqa: E402
+
 from shared_simd_scan_tpu import layout  # noqa: E402
 from shared_simd_scan_tpu.bench import harness  # noqa: E402
 from shared_simd_scan_tpu.bench.cli import parse_size  # noqa: E402
@@ -69,8 +71,6 @@ def main(argv):
     n = harness.values_for(size, WIDTH)
     if spread:
         rng = np.random.default_rng(7)
-        import jax.numpy as jnp
-
         vals = jnp.asarray(
             rng.integers(0, 1 << WIDTH, n, dtype=np.uint32)
         )
@@ -99,6 +99,45 @@ def main(argv):
     )(dev.tiles)
     out = np.asarray(jax.device_get(prefix))
     ok = bool((out == exp).all())
+    # each tier's verified flag must come from ITS OWN device-vs-numpy
+    # check (repo rule) — the dispatcher check above exercises only the
+    # concrete fused tier.  Traced tier: keys as a jit ARGUMENT.
+    tprefix = jax.jit(
+        lambda t, kv: scan_ops.shared_scan_linear_device(
+            layout.DeviceColumn(width=WIDTH, n=n, tiles=t), kv
+        )[: exp.size]
+    )(dev.tiles, jnp.asarray(keys))
+    ok_traced = bool((np.asarray(jax.device_get(tprefix)) == exp).all())
+    # two-kernel comparator path: explicit scan -> MXU relayout
+    from shared_simd_scan_tpu.ops.linear import (
+        _mxu_large_supported as _lsup_v,
+        _mxu_supported as _sup_v,
+        interleave_mxu_words as _imw_v,
+        interleave_mxu_words_large as _imwl_v,
+    )
+
+    if _sup_v(k) or _lsup_v(k):
+        def _twok(t, kv):
+            bits, _ = scan_ops.shared_scan_device(
+                layout.DeviceColumn(width=WIDTH, n=n, tiles=t), kv
+            )
+            w = (
+                _imw_v(bits, (n + 7) // 8 * k // 4)
+                if _sup_v(k)
+                else _imwl_v(bits, (n + 7) // 8)
+            )
+            return jax.lax.bitcast_convert_type(
+                w, jnp.uint8
+            ).reshape(-1)[: exp.size]
+
+        twoprefix = jax.jit(_twok)(dev.tiles, jnp.asarray(keys))
+        ok_twok = bool((np.asarray(jax.device_get(twoprefix)) == exp).all())
+    else:
+        ok_twok = ok
+    ok_by_row = {
+        "linear-fused-traced": ok_traced,
+        "linear-twokernel": ok_twok,
+    }
 
     traffic = layout.packed_nbytes(WIDTH, n) + k * layout.bitvector_words(n) * 4
     rows = []
@@ -157,14 +196,15 @@ def main(argv):
             salt0=(abs(hash(name)) + int(time.time())) % 1_000_000,
         )
         gbs = traffic / m.seconds / 1e9
+        row_ok = ok_by_row.get(name, ok)
         rows.append({
             "width": WIDTH, "k": k, "path": name,
             "ms": round(m.millis, 4), "gb_per_s_counted": round(gbs, 1),
-            "verified": ok, "n": n, "traffic_bytes": traffic,
+            "verified": row_ok, "n": n, "traffic_bytes": traffic,
             "note": note,
         })
         print(f"{name}: {gbs:.1f} GB/s counted ({m.millis:.3f} ms) "
-              f"verify={'ok' if ok else 'FAIL'}", flush=True)
+              f"verify={'ok' if row_ok else 'FAIL'}", flush=True)
 
     # host AVX2 interleave floor at the same byte volume (csrc
     # sss_interleave).  Interleave-only: the device->host fetch of the

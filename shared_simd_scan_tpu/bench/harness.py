@@ -378,13 +378,21 @@ def chain_linear_shared_scan(
             out = scan_ops.shared_scan_linear_words_device(dev, kv, tb=tb)
         elif relayout == "twokernel":
             # the explicit scan -> MXU-relayout comparator (what the
-            # traced dispatch used to do before the fused traced tier)
+            # traced dispatch used to do before the fused traced tier).
+            # Gate on the REAL tier predicates like the 'fused' branch:
+            # interleave_mxu_words_large dies on a bare assert otherwise
             from shared_simd_scan_tpu.ops.linear import (
+                _mxu_large_supported as _lsup,
                 _mxu_supported as _sup,
                 interleave_mxu_words,
                 interleave_mxu_words_large,
             )
 
+            if not (_sup(kk) or _lsup(kk)):
+                raise ValueError(
+                    f"relayout='twokernel' needs k in 4/8/12/16, k % 8 =="
+                    f" 0 in 24..128, or k % 4 == 0 in 20..64, got {kk}"
+                )
             bits, _ = scan_ops.shared_scan_device(dev, kv, tb=tb)
             out = (
                 interleave_mxu_words(bits, (n + 7) // 8 * kk // 4)

@@ -447,8 +447,6 @@ def shared_scan_linear_words_device(
     from shared_simd_scan_tpu.ops.linear import (
         _mxu_large_supported,
         _mxu_supported,
-        interleave_mxu_words,
-        interleave_mxu_words_large,
         interleave_xla_stack,
     )
 
@@ -502,18 +500,13 @@ def shared_scan_linear_words_device(
             interpret=interpret,
         )
         return out
+    # every MXU-supported k returned through a fused tier above (traced
+    # and concrete both covered) — only the stack fallback remains for k
+    # outside all MXU tiers (k % 4 == 0 with k > 16 and not in either
+    # hierarchy range).  The explicit two-kernel comparator lives in the
+    # bench harness (relayout='twokernel'), not here.
     bits, _ = shared_scan_device(dev, keys, tb=tb, interpret=interpret)
     nbytes = (dev.n + 7) // 8
-    if _mxu_supported(k):
-        return interleave_mxu_words(
-            bits, nbytes * k // 4, interpret=interpret
-        )
-    if _mxu_large_supported(k):
-        # hierarchical two-level MXU interleave (groups of 8 + g=2-word
-        # stream pass) — 2.7-6.4x fewer MACs than a direct k-perm and
-        # the only sub-second path past k=16 (stack measured ~5-6 GB/s
-        # FLAT in k: the minor-dim stack itself, not its padding)
-        return interleave_mxu_words_large(bits, nbytes, interpret=interpret)
     out = interleave_xla_stack(bits, nbytes)
     return jax.lax.bitcast_convert_type(
         out.reshape(-1, 4), jnp.uint32
@@ -601,7 +594,7 @@ def _interval_linear_tb(
         raise ValueError(
             f"fused linear kernel VMEM budget: perm ({perm_bytes/1e6:.1f} MB"
             f" at k={k}, dot={dot!r}) leaves no room for a tb=8 tile; use"
-            " dot='s8'/'bf16' or the two-kernel path"
+            " dot='s8'/'bf16', or export bits via shared_scan_device + ops.linear"
         )
     cap = max(8, (headroom // per_tb) // 8 * 8)
     return _pick_tb(b1, tb if tb is not None else min(128, cap))
@@ -694,6 +687,32 @@ def interval_scan_linear_words_tiles(
     return out.reshape(-1)[:nwords], counts
 
 
+def _fused_linear_hier(level1_fn, k: int, n: int, interpret: bool, dot: str):
+    """Shared level-2 driver for every fused HIERARCHICAL linear export
+    (interval / static / traced level-1 bodies): run level1_fn(G, gs)
+    per key group (G-th group of gs keys -> padded words + counts),
+    stack the group streams, and apply the g = gs/4 word stream
+    interleave.  One home so the group/stream plumbing cannot drift
+    between the three tiers."""
+    from shared_simd_scan_tpu.ops.linear import (
+        _hier_group,
+        interleave_streams_mxu_words,
+    )
+
+    gs = _hier_group(k)
+    groups, counts = [], []
+    for G in range(k // gs):
+        out_g, cnt_g = level1_fn(G, gs)
+        groups.append(out_g.reshape(-1))
+        counts.append(cnt_g)
+    streams = jnp.stack(groups)
+    nwords = ((n + 7) // 8) * k // 4
+    out = interleave_streams_mxu_words(
+        streams, gs // 4, nwords, interpret=interpret, dot=dot
+    )
+    return out, jnp.concatenate(counts)
+
+
 @functools.partial(
     jax.jit, static_argnames=("k", "width", "n", "tb", "interpret", "dot")
 )
@@ -716,30 +735,17 @@ def interval_scan_linear_words_large(
     bits: saves the 2x bits round-trip and the scan re-runs at
     interval-kernel cost (~0.8 ms/group) instead of the bit-sliced
     tier's."""
-    from shared_simd_scan_tpu.ops.linear import (
-        _hier_group,
-        _mxu_large_supported,
-        interleave_streams_mxu_words,
-    )
+    from shared_simd_scan_tpu.ops.linear import _mxu_large_supported
 
     assert _mxu_large_supported(k)
-    gs = _hier_group(k)
-    m = k // gs
     lo = jnp.asarray(lo, jnp.uint32)
-    groups, counts = [], []
-    for G in range(m):
-        out_g, cnt_g = interval_scan_linear_words_tiles(
+    return _fused_linear_hier(
+        lambda G, gs: interval_scan_linear_words_tiles(
             tiles, lo + jnp.uint32(gs * G), gs, width, n, tb=tb,
             interpret=interpret, dot=dot, flat=False,
-        )
-        groups.append(out_g.reshape(-1))
-        counts.append(cnt_g)
-    streams = jnp.stack(groups)
-    nwords = ((n + 7) // 8) * k // 4
-    out = interleave_streams_mxu_words(
-        streams, gs // 4, nwords, interpret=interpret, dot=dot
+        ),
+        k, n, interpret, dot,
     )
-    return out, jnp.concatenate(counts)
 
 
 def _static_linear_kernel(
@@ -790,17 +796,21 @@ def _static_linear_kernel(
     out_ref[...] = _mxu_interleave_rows(rows, perm_ref[...], k, dot)
 
 
-def _static_linear_tb(
-    b1: int, width: int, keys: tuple, dot: str, tb: int | None = None
+def _fused_linear_tb(
+    b1: int, width: int, k: int, dot: str, live: int, tb: int | None,
+    what: str,
 ) -> int:
-    """Tile-size rule for the fused static-DAG linear kernel: the
-    interval rule's interleave terms plus the DAG's MEASURED peak
-    register liveness (the static bit-sliced tier's budget discipline —
-    a flat guess under-counted wide widths ~2.6x) and the 64-vec Mosaic
-    scratch headroom the round-3 hardware compile failures demanded."""
-    k = len(keys)
+    """THE shared tile-size rule for the fused scan+interleave kernels
+    whose bodies carry per-key live vectors (static DAG / traced plane
+    fold) — one home so a headroom retune cannot desync the siblings
+    (the round-3 scoped-vmem lesson: these budgets must change
+    together).  ``live`` is the body's peak live-vector count: the
+    MEASURED DAG liveness for concrete keys (a flat guess under-counted
+    wide widths ~2.6x), width + 8 for the rolling plane fold.  The
+    interval kernel keeps its own rule (`_interval_linear_tb`): its
+    one-hot body has no per-key live term and the op-fit step
+    accounting depends on that exact formula."""
     perm_bytes = (128 * k) ** 2 * {"s8": 1, "bf16": 2, "f32": 4}[dot]
-    live = _static_dag_liveness(width, keys)
     per_tb = (
         512 * (2 * width + width + 32 + live + 64 + 2 * k)
         + 128 * k * 4 * 5
@@ -808,13 +818,22 @@ def _static_linear_tb(
     headroom = 12_000_000 - perm_bytes
     if headroom < 8 * per_tb:
         raise ValueError(
-            f"fused static linear kernel VMEM budget: perm"
-            f" ({perm_bytes / 1e6:.1f} MB at k={k}, dot={dot!r}) plus the"
-            f" DAG's {live} live vectors leave no room for a tb=8 tile;"
-            " use dot='s8' or the two-kernel path"
+            f"fused {what} linear kernel VMEM budget: perm"
+            f" ({perm_bytes / 1e6:.1f} MB at k={k}, dot={dot!r}) plus"
+            f" {live} live body vectors leave no room for a tb=8 tile;"
+            " use dot='s8', or export bits via shared_scan_device + ops.linear"
         )
     cap = max(8, (headroom // per_tb) // 8 * 8)
     return _pick_tb(b1, tb if tb is not None else min(128, cap))
+
+
+def _static_linear_tb(
+    b1: int, width: int, keys: tuple, dot: str, tb: int | None = None
+) -> int:
+    return _fused_linear_tb(
+        b1, width, len(keys), dot,
+        _static_dag_liveness(width, keys), tb, "static",
+    )
 
 
 @functools.partial(
@@ -919,33 +938,20 @@ def static_scan_linear_words_large(
     bits never exist in HBM; vs the bits round-trip this saves its 2x
     traffic and the relayout pass (measured: bench_results/linear_k32/
     k64 CSVs)."""
-    from shared_simd_scan_tpu.ops.linear import (
-        _hier_group,
-        _mxu_large_supported,
-        interleave_streams_mxu_words,
-    )
+    from shared_simd_scan_tpu.ops.linear import _mxu_large_supported
 
     if isinstance(keys, jax.core.Tracer):
         raise TypeError("static_scan_linear_words_large requires concrete keys")
     arr = np.asarray(keys, dtype=np.uint32)
     k = int(arr.shape[0])
     assert _mxu_large_supported(k)
-    gs = _hier_group(k)
-    m = k // gs
-    groups, counts = [], []
-    for G in range(m):
-        out_g, cnt_g = static_scan_linear_words_tiles(
+    return _fused_linear_hier(
+        lambda G, gs: static_scan_linear_words_tiles(
             tiles, arr[gs * G : gs * G + gs], width, n, tb=tb,
             interpret=interpret, dot=dot, flat=False,
-        )
-        groups.append(out_g.reshape(-1))
-        counts.append(cnt_g)
-    streams = jnp.stack(groups)
-    nwords = ((n + 7) // 8) * k // 4
-    out = interleave_streams_mxu_words(
-        streams, gs // 4, nwords, interpret=interpret, dot=dot
+        ),
+        k, n, interpret, dot,
     )
-    return out, jnp.concatenate(counts)
 
 
 def _bitsliced_linear_kernel(
@@ -997,23 +1003,8 @@ def _bitsliced_linear_kernel(
 def _bitsliced_linear_tb(
     b1: int, width: int, k: int, dot: str, tb: int | None = None
 ) -> int:
-    """Tile rule for the fused traced-keys linear kernel: the static
-    rule's interleave terms with the plane fold's flat live set (planes
-    + one rolling acc) in place of measured DAG liveness."""
-    perm_bytes = (128 * k) ** 2 * {"s8": 1, "bf16": 2, "f32": 4}[dot]
-    per_tb = (
-        512 * (2 * width + width + 32 + (width + 8) + 64 + 2 * k)
-        + 128 * k * 4 * 5
-    )
-    headroom = 12_000_000 - perm_bytes
-    if headroom < 8 * per_tb:
-        raise ValueError(
-            f"fused traced linear kernel VMEM budget: perm"
-            f" ({perm_bytes / 1e6:.1f} MB at k={k}, dot={dot!r}) leaves no"
-            " room for a tb=8 tile; use dot='s8' or the two-kernel path"
-        )
-    cap = max(8, (headroom // per_tb) // 8 * 8)
-    return _pick_tb(b1, tb if tb is not None else min(128, cap))
+    # plane-fold live set: the width planes + one rolling acc (+ slack)
+    return _fused_linear_tb(b1, width, k, dot, width + 8, tb, "traced")
 
 
 @functools.partial(
@@ -1117,30 +1108,17 @@ def bitsliced_scan_linear_words_large(
     kernel per key group (slicing a traced key vector is free), level 2
     the stream interleave — runtime-key large-k export with no bits
     round-trip and one compiled program per (k, width, n)."""
-    from shared_simd_scan_tpu.ops.linear import (
-        _hier_group,
-        _mxu_large_supported,
-        interleave_streams_mxu_words,
-    )
+    from shared_simd_scan_tpu.ops.linear import _mxu_large_supported
 
     assert _mxu_large_supported(k)
     keys = jnp.asarray(keys, jnp.uint32)
-    gs = _hier_group(k)
-    m = k // gs
-    groups, counts = [], []
-    for G in range(m):
-        out_g, cnt_g = bitsliced_scan_linear_words_tiles(
+    return _fused_linear_hier(
+        lambda G, gs: bitsliced_scan_linear_words_tiles(
             tiles, keys[gs * G : gs * G + gs], width, n, tb=tb,
             interpret=interpret, dot=dot, flat=False,
-        )
-        groups.append(out_g.reshape(-1))
-        counts.append(cnt_g)
-    streams = jnp.stack(groups)
-    nwords = ((n + 7) // 8) * k // 4
-    out = interleave_streams_mxu_words(
-        streams, gs // 4, nwords, interpret=interpret, dot=dot
+        ),
+        k, n, interpret, dot,
     )
-    return out, jnp.concatenate(counts)
 
 
 def popcount_bits(bits: jax.Array) -> jax.Array:
@@ -1836,24 +1814,24 @@ def _histogram_dag_tiles_impl(
 
 
 def _histogram_span_kernel(
-    off_ref, in_ref, cnt_ref, *, width, tb, n, lo, k, store_batch=8
+    off_ref, in_ref, cnt_ref, *, width, tb, n, lo, k
 ):
     """Single-pass counts-only AND-DAG kernel for a consecutive key span:
     ALL k rows in one straight-line body (no chunk grid dimension, no
     predicated branches).
 
     Counts-only makes this shape viable where the bits-producing kernel
-    must chunk: each key row is popcounted and its (LANES,) partial held
-    briefly, so in ascending-key DFS order the live set is one
-    root-to-leaf path of memoized subtrees (~width vectors, measured by
-    _static_dag_liveness) — not k rows.  Partials are stored in
-    ``store_batch``-row groups: the per-row (1, 128) store is 1/8 of a
-    vreg tile and pays a masked read-modify-write per key; an aligned
-    (8, 128) group store doesn't (the round-4 1.25x-of-fitted residue's
-    tested hypothesis).  The validity word is computed unconditionally
-    and ANDed into every row (one op per key) instead of the usual
-    masked/unmasked pl.when split, which would have duplicated the whole
-    k-key body into both branches."""
+    must chunk: each key row is popcounted and stored IMMEDIATELY, so in
+    ascending-key DFS order the live set is one root-to-leaf path of
+    memoized subtrees (~width vectors, measured by _static_dag_liveness)
+    — not k rows.  Per-row (1, 128) stores are kept deliberately: an
+    aligned-(8, 128)-group-store variant was measured NEUTRAL (7.14 vs
+    7.08 ms at k=512, tb-flat — the round-4 1.25x-of-fitted residue was
+    the cost model excluding the 512 cross-sublane reductions, not the
+    stores; see DESIGN §3).  The validity word is computed
+    unconditionally and ANDed into every row (one op per key) instead
+    of the usual masked/unmasked pl.when split, which would have
+    duplicated the whole k-key body into both branches."""
     i = pl.program_id(0)
     vs = [v for _, v in _unpack_block_values(in_ref, width)]
     planes = _transpose_bitplanes(vs, width)
@@ -1870,34 +1848,20 @@ def _histogram_span_kernel(
     dom = 1 << width
     zero = jnp.zeros((tb, LANES), jnp.uint32)
     memo: dict = {}
-    pcs = []
-    q0 = 0
     for j in range(k):
         key = lo + j
         row = _combo(planes, 0, width, key, memo) if key < dom else zero
         w = row & valid
-        pcs.append(jnp.sum(
-            jax.lax.population_count(w).astype(jnp.int32), axis=0,
-            keepdims=True,
-        ))
-        if len(pcs) == store_batch or j == k - 1:
-            if len(pcs) == 1:
-                cnt_ref[0, q0] = pcs[0][0]
-            else:
-                cnt_ref[0, q0 : q0 + len(pcs)] = jnp.concatenate(pcs, axis=0)
-            q0 = j + 1
-            pcs = []
+        cnt_ref[0, j] = jnp.sum(
+            jax.lax.population_count(w).astype(jnp.int32), axis=0
+        )
 
 
 @functools.partial(
-    jax.jit,
-    static_argnames=(
-        "lo", "k", "width", "n", "tb", "interpret", "store_batch"
-    ),
+    jax.jit, static_argnames=("lo", "k", "width", "n", "tb", "interpret")
 )
 def _histogram_span_tiles_impl(
-    tiles, lo: int, k: int, width, n, tb, interpret, block_offset,
-    store_batch: int = 8,
+    tiles, lo: int, k: int, width, n, tb, interpret, block_offset
 ):
     _, b1, lanes = tiles.shape
     assert lanes == LANES
@@ -1910,8 +1874,7 @@ def _histogram_span_tiles_impl(
     off = jnp.asarray(block_offset, jnp.int32).reshape(1, 1)
     cnt = pl.pallas_call(
         functools.partial(
-            _histogram_span_kernel, width=width, tb=tb, n=n, lo=lo, k=k,
-            store_batch=store_batch,
+            _histogram_span_kernel, width=width, tb=tb, n=n, lo=lo, k=k
         ),
         out_shape=jax.ShapeDtypeStruct((b1 // tb, k, LANES), jnp.int32),
         grid=(b1 // tb,),
