@@ -449,6 +449,49 @@ def sharded_static_linear_scan(
 @functools.partial(
     jax.jit, static_argnames=("mesh", "width", "n", "tb", "interpret")
 )
+def _sharded_traced_linear_scan_tiles(
+    tiles, keys, *, mesh, width, n, tb, interpret
+):
+    local_b1 = tiles.shape[1] // mesh.devices.size
+
+    def local(tiles_l, keys_l):
+        off = jax.lax.axis_index(DATA_AXIS) * (local_b1 * LANES)
+        out, cnt = scan_ops.bitsliced_scan_linear_words_tiles(
+            tiles_l, keys_l, width, n, tb=tb, interpret=interpret,
+            block_offset=off, flat=False,
+        )
+        return out, jax.lax.psum(cnt, DATA_AXIS)
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, DATA_AXIS, None), P()),
+        out_specs=(P(DATA_AXIS, None), P()),
+        check_vma=False,
+    )(tiles, keys)
+
+
+def sharded_traced_linear_scan(
+    dev: DeviceColumn, keys, mesh: Mesh, tb: int | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Sharded FUSED linear export for TRACED (runtime) keys — one
+    compiled program per (k, width, n, mesh) for any key values, keys
+    replicated to every shard (the round-5 traced tier's sharded form;
+    k must satisfy linear._mxu_supported).  Same block-sharded
+    contiguous output contract; counts psum-reduced."""
+    keys = jnp.asarray(keys, jnp.uint32)
+    out, counts = _sharded_traced_linear_scan_tiles(
+        dev.tiles, keys, mesh=mesh, width=dev.width, n=dev.n, tb=tb,
+        interpret=interpret,
+    )
+    nwords = ((dev.n + 7) // 8) * int(keys.shape[0]) // 4
+    return out.reshape(-1)[:nwords], counts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "width", "n", "tb", "interpret")
+)
 def _sharded_range_scan_tiles(tiles, lows, highs, *, mesh, width, n, tb, interpret):
     local_b1 = tiles.shape[1] // mesh.devices.size
 
